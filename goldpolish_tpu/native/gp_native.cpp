@@ -1,0 +1,260 @@
+// gp_native — native host kernels for goldpolish_tpu.
+//
+// The reference keeps its data-plane hot loops native (SeqIndex scan:
+// src/seqindex.cpp; Bloom fill: src/utils.cpp:96-123 with btllib ntHash);
+// this library provides the TPU framework's equivalents, exposed through a
+// plain C ABI consumed via ctypes (no pybind11 in the build environment).
+//
+// Everything here is a from-scratch implementation:
+//  * ntHash v1 recurrences re-derived from the published scheme
+//    (reference: subprojects/ntedit/lib/nthash.hpp) — same constants, our
+//    own code,
+//  * conservative-update 8-bit counting Bloom + plain Bloom fill with the
+//    reference's per-k escalating threshold,
+//  * FASTA/FASTQ linear-scan indexer with byte offsets + mean phred
+//    (2-line FASTA / 4-line FASTQ framing, like the reference indexer).
+//
+// Build: see build.py (g++ -O3 -shared -fPIC -fopenmp).
+
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <string>
+#include <vector>
+
+namespace {
+
+constexpr uint64_t SEED_A = 0x3c8bfbb395c60474ULL;
+constexpr uint64_t SEED_C = 0x3193c18562a02b4cULL;
+constexpr uint64_t SEED_G = 0x20323ed082572324ULL;
+constexpr uint64_t SEED_T = 0x295549f54be24456ULL;
+constexpr uint64_t MULTI_SEED = 0x90b45d39fb6da1faULL;
+constexpr int MULTI_SHIFT = 27;
+constexpr uint64_t M33 = 0x1FFFFFFFFULL;
+constexpr uint64_t M31 = 0x7FFFFFFFULL;
+
+struct SeedTabs {
+  uint64_t fwd[256];
+  uint64_t rc[256];
+  SeedTabs() {
+    std::memset(fwd, 0, sizeof(fwd));
+    fwd[1] = SEED_T;
+    fwd[3] = SEED_G;
+    fwd[4] = SEED_A;
+    fwd[7] = SEED_C;
+    fwd['A'] = fwd['a'] = SEED_A;
+    fwd['C'] = fwd['c'] = SEED_C;
+    fwd['G'] = fwd['g'] = SEED_G;
+    fwd['T'] = fwd['t'] = SEED_T;
+    for (int c = 0; c < 256; c++) rc[c] = fwd[c & 0x07];
+  }
+};
+const SeedTabs kSeeds;
+
+// split-rotate left by 1: independent rotations of the 31-bit high field
+// and the 33-bit low field.
+inline uint64_t srol(uint64_t v) {
+  uint64_t hi = v >> 33, lo = v & M33;
+  hi = ((hi << 1) | (hi >> 30)) & M31;
+  lo = ((lo << 1) | (lo >> 32)) & M33;
+  return (hi << 33) | lo;
+}
+
+inline uint64_t srol_n(uint64_t v, unsigned n) {
+  unsigned s31 = n % 31, s33 = n % 33;
+  uint64_t hi = v >> 33, lo = v & M33;
+  hi = ((hi << s31) | (hi >> (31 - s31))) & M31;
+  lo = ((lo << s33) | (lo >> (33 - s33))) & M33;
+  return (hi << 33) | lo;
+}
+
+inline void multi_hash(uint64_t base, unsigned k, unsigned m, uint64_t* out) {
+  out[0] = base;
+  for (unsigned i = 1; i < m; i++) {
+    uint64_t t = base * ((uint64_t)i ^ ((uint64_t)k * MULTI_SEED));
+    t ^= t >> MULTI_SHIFT;
+    out[i] = t;
+  }
+}
+
+inline bool bf_contains(const uint8_t* arr, uint64_t bits, const uint64_t* hashes,
+                        unsigned m) {
+  for (unsigned i = 0; i < m; i++) {
+    uint64_t b = hashes[i] % bits;
+    if (!((arr[b >> 3] >> (b & 7)) & 1)) return false;
+  }
+  return true;
+}
+
+inline void bf_insert(uint8_t* arr, uint64_t bits, const uint64_t* hashes,
+                      unsigned m) {
+  for (unsigned i = 0; i < m; i++) {
+    uint64_t b = hashes[i] % bits;
+    arr[b >> 3] |= (uint8_t)(1u << (b & 7));
+  }
+}
+
+// conservative-update insert capped at threshold; returns resulting count.
+inline unsigned cbf_insert_thresh(uint8_t* counters, uint64_t size,
+                                  const uint64_t* hashes, unsigned m,
+                                  unsigned threshold) {
+  uint64_t idx[16];
+  uint8_t mn = 255;
+  for (unsigned i = 0; i < m; i++) {
+    idx[i] = hashes[i] % size;
+    if (counters[idx[i]] < mn) mn = counters[idx[i]];
+  }
+  if (mn >= threshold) return mn;
+  for (unsigned i = 0; i < m; i++)
+    if (counters[idx[i]] == mn) counters[idx[i]] = (uint8_t)(mn + 1);
+  return mn + 1;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Canonical multi-hash of every k-window of seq -> out[n_windows * hash_num].
+// Rolling recurrence, sequential — used for oracle checks and host builds.
+void gp_nthash_all(const uint8_t* seq, int64_t n, uint32_t k, uint32_t hash_num,
+                   uint64_t* out) {
+  if (n < (int64_t)k) return;
+  uint64_t fh = 0, rh = 0;
+  for (uint32_t i = 0; i < k; i++) fh = srol(fh) ^ kSeeds.fwd[seq[i]];
+  for (uint32_t i = 0; i < k; i++) rh = srol(rh) ^ kSeeds.rc[seq[k - 1 - i]];
+  multi_hash(fh + rh, k, hash_num, out);
+  const uint64_t m33 = M33, m31 = M31;
+  (void)m33;
+  (void)m31;
+  for (int64_t w = 1; w <= n - (int64_t)k; w++) {
+    uint8_t out_c = seq[w - 1], in_c = seq[w + k - 1];
+    fh = srol(fh) ^ kSeeds.fwd[in_c] ^ srol_n(kSeeds.fwd[out_c], k);
+    // reverse: rh' = sror(rh ^ srol_k(rc[in]) ^ rc[out])
+    uint64_t v = rh ^ srol_n(kSeeds.rc[in_c], k) ^ kSeeds.rc[out_c];
+    {  // sror
+      uint64_t hi = v >> 33, lo = v & M33;
+      hi = ((hi >> 1) | (hi << 30)) & M31;
+      lo = ((lo >> 1) | (lo << 32)) & M33;
+      rh = (hi << 33) | lo;
+    }
+    multi_hash(fh + rh, k, hash_num, out + (uint64_t)w * hash_num);
+  }
+}
+
+// The reference fill loop (src/utils.cpp:96-123): per k (escalating
+// threshold), insert every k-mer of the read into the counting BF and
+// promote to the plain BF at the threshold.
+// cbf_arrays[i] has cbf_bytes counters; bf_arrays[i] has bf_bytes bytes.
+// Returns 0 on success, -1 on bad args.
+int gp_fill_bfs(const uint8_t* seq, int64_t seq_len, uint32_t hash_num,
+                const uint32_t* k_values, uint32_t num_k,
+                uint32_t kmer_threshold, uint8_t** cbf_arrays,
+                uint64_t cbf_bytes, uint8_t** bf_arrays, uint64_t bf_bytes) {
+  if (kmer_threshold < 4 || hash_num > 16) return -1;
+  unsigned thresh = kmer_threshold - 2;
+  const uint64_t bf_bits = bf_bytes * 8;
+  std::vector<uint64_t> hashes(hash_num);
+  for (uint32_t ki = 0; ki < num_k; ki++, thresh++) {
+    const uint32_t k = k_values[ki];
+    if (seq_len < (int64_t)k) continue;
+    uint8_t* cbf = cbf_arrays[ki];
+    uint8_t* bf = bf_arrays[ki];
+    uint64_t fh = 0, rh = 0;
+    for (uint32_t i = 0; i < k; i++) fh = srol(fh) ^ kSeeds.fwd[seq[i]];
+    for (uint32_t i = 0; i < k; i++) rh = srol(rh) ^ kSeeds.rc[seq[k - 1 - i]];
+    for (int64_t w = 0;; w++) {
+      multi_hash(fh + rh, k, hash_num, hashes.data());
+      if (cbf_insert_thresh(cbf, cbf_bytes, hashes.data(), hash_num, thresh) >=
+          thresh)
+        bf_insert(bf, bf_bits, hashes.data(), hash_num);
+      if (w >= seq_len - (int64_t)k) break;
+      uint8_t out_c = seq[w], in_c = seq[w + k];
+      fh = srol(fh) ^ kSeeds.fwd[in_c] ^ srol_n(kSeeds.fwd[out_c], k);
+      uint64_t v = rh ^ srol_n(kSeeds.rc[in_c], k) ^ kSeeds.rc[out_c];
+      uint64_t hi = v >> 33, lo = v & M33;
+      hi = ((hi >> 1) | (hi << 30)) & M31;
+      lo = ((lo >> 1) | (lo << 32)) & M33;
+      rh = (hi << 33) | lo;
+    }
+  }
+  return 0;
+}
+
+// Batched membership probe: hashes[n * hash_num] against a plain BF.
+void gp_bf_contains(const uint8_t* bf, uint64_t bf_bytes, uint32_t hash_num,
+                    const uint64_t* hashes, int64_t n, uint8_t* out) {
+  const uint64_t bits = bf_bytes * 8;
+  for (int64_t i = 0; i < n; i++)
+    out[i] = bf_contains(bf, bits, hashes + (uint64_t)i * hash_num, hash_num)
+                 ? 1
+                 : 0;
+}
+
+// FASTA/FASTQ linear-scan indexer (reference: src/seqindex.cpp:12-66).
+// Writes a TSV: id \t seq_start_byte \t seq_len \t phred_avg.
+// FASTA is assumed 2-line-per-record, FASTQ 4-line (like the reference).
+// phred_avg averages quals[0 .. len-2] (reference passes line.size()-1 as
+// the length argument, seqindex.cpp:45).
+int gp_seqindex_build(const char* seqs_path, const char* out_tsv) {
+  FILE* in = std::fopen(seqs_path, "rb");
+  if (!in) return -1;
+  FILE* out = std::fopen(out_tsv, "w");
+  if (!out) {
+    std::fclose(in);
+    return -2;
+  }
+  int first = std::fgetc(in);
+  bool fastq = (first == '@');
+  std::fseek(in, 0, SEEK_SET);
+  std::string line;
+  line.reserve(1 << 20);
+  char buf[1 << 20];
+  int64_t byte = 0, i = 0, id_endbyte = 0, seq_start = 0, seq_len = 0;
+  std::string id;
+  while (std::fgets(buf, sizeof(buf), in)) {
+    size_t got = std::strlen(buf);
+    line.assign(buf, got);
+    while (got == sizeof(buf) - 1 && buf[got - 1] != '\n' &&
+           std::fgets(buf, sizeof(buf), in)) {
+      got = std::strlen(buf);
+      line.append(buf, got);
+    }
+    bool had_nl = !line.empty() && line.back() == '\n';
+    if (had_nl) line.pop_back();
+    const int64_t endbyte = byte + (int64_t)line.size();
+    if (fastq) {
+      if (i % 4 == 0) {
+        id_endbyte = endbyte;
+        size_t sp = line.find_first_of(" \t");
+        id = line.substr(1, sp == std::string::npos ? std::string::npos : sp - 1);
+      } else if (i % 4 == 1) {
+        seq_start = id_endbyte + 1;
+        seq_len = endbyte - id_endbyte - 1;
+      } else if (i % 4 == 3) {
+        double phred = 0.0;
+        const size_t qlen = line.size() > 0 ? line.size() - 1 : 0;
+        for (size_t q = 0; q < qlen; q++) phred += (double)(line[q] - 33);
+        if (qlen) phred /= (double)qlen;
+        std::fprintf(out, "%s\t%lld\t%lld\t%g\n", id.c_str(),
+                     (long long)seq_start, (long long)seq_len, phred);
+      }
+    } else {
+      if (i % 2 == 0) {
+        id_endbyte = endbyte;
+        size_t sp = line.find(' ');
+        id = line.substr(1, sp == std::string::npos ? std::string::npos : sp - 1);
+      } else {
+        std::fprintf(out, "%s\t%lld\t%lld\t%g\n", id.c_str(),
+                     (long long)(id_endbyte + 1),
+                     (long long)(endbyte - id_endbyte - 1), 0.0);
+      }
+    }
+    byte = endbyte + (had_nl ? 1 : 0);
+    i++;
+  }
+  std::fclose(in);
+  std::fclose(out);
+  return 0;
+}
+
+}  // extern "C"

@@ -1,0 +1,167 @@
+"""Bloom filters: plain + 8-bit counting, host (NumPy) and device (JAX) paths.
+
+Semantics follow btllib's KmerBloomFilter / KmerCountingBloomFilter8 as used
+by the reference pipeline:
+
+ * bit/counter index = hash % (bytes * 8)  (one counter per byte for the CBF),
+   byte-addressed little-endian bit layout (bit i lives in byte i>>3 at
+   position i&7) — a uint32 little-endian view preserves bit indexing, which
+   is what the device probe path uses.
+ * `insert_thresh_contains(hashes, t)` implements conservative-update
+   counting: read the minimum counter over the hash slots; if below t,
+   increment exactly the minimum slots and report the post-increment count,
+   else report the saturated count without inserting.  The reference promotes
+   a k-mer into the plain BF when this reported count reaches the per-k
+   escalating threshold (reference: src/utils.cpp:96-123).
+ * Default sizes: 10 MiB CBF + 512 KiB BF, 4 hashes
+   (reference: src/goldpolish_targeted_bfs.cpp:270-272).
+
+Note: btllib is not vendored or linked; these are from-scratch
+reimplementations whose behavior is pinned by this package's own tests.
+The 512 KiB default makes the bit count a power of two, so the device probe
+reduces the modulo to a mask.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+
+DEFAULT_CBF_BYTES = 10 * 1024 * 1024
+DEFAULT_BF_BYTES = 512 * 1024
+DEFAULT_HASH_NUM = 4
+
+_MAGIC = "GPTPU_BF1"
+
+
+class BloomFilter:
+    """Plain Bloom filter over precomputed 64-bit hash tuples."""
+
+    def __init__(self, bytes_size: int = DEFAULT_BF_BYTES, hash_num: int = DEFAULT_HASH_NUM, k: int = 0):
+        self.bytes = int(bytes_size)
+        self.bits = np.uint64(self.bytes * 8)
+        self.hash_num = int(hash_num)
+        self.k = int(k)
+        self.array = np.zeros(self.bytes, dtype=np.uint8)
+
+    # -- host path ------------------------------------------------------------
+    def insert(self, hashes: np.ndarray) -> None:
+        """Set bits for hash tuples; hashes is uint64[..., hash_num]."""
+        idx = (hashes.reshape(-1) % self.bits).astype(np.int64)
+        np.bitwise_or.at(self.array, idx >> 3, np.uint8(1) << (idx & 7).astype(np.uint8))
+
+    def contains(self, hashes: np.ndarray) -> np.ndarray:
+        """True where all hash_num bits are set; hashes uint64[..., hash_num]."""
+        idx = (hashes % self.bits).astype(np.int64)
+        bits = (self.array[idx >> 3] >> (idx & 7).astype(np.uint8)) & 1
+        return bits.all(axis=-1)
+
+    def contains_one(self, hashes) -> bool:
+        return bool(self.contains(np.asarray(hashes, dtype=np.uint64)[None, :])[0])
+
+    @property
+    def pop_count(self) -> int:
+        return int(np.unpackbits(self.array).sum())
+
+    # -- device view ----------------------------------------------------------
+    def words_u32(self) -> np.ndarray:
+        """uint32 little-endian word view (bit i -> word i>>5, bit i&31)."""
+        return self.array.view("<u4")
+
+    # -- serialization (own format; the reference round-trips BFs through
+    #    /dev/shm files, reference: scripts/goldpolish:517-518) ---------------
+    def save(self, path: str) -> None:
+        header = {
+            "magic": _MAGIC,
+            "type": "bf",
+            "bytes": self.bytes,
+            "hash_num": self.hash_num,
+            "k": self.k,
+        }
+        with open(path, "wb") as f:
+            f.write((json.dumps(header) + "\n").encode())
+            f.write(self.array.tobytes())
+
+    @classmethod
+    def load(cls, path: str) -> "BloomFilter":
+        with open(path, "rb") as f:
+            header = json.loads(f.readline().decode())
+            if header.get("magic") != _MAGIC or header.get("type") != "bf":
+                raise ValueError(f"{path}: not a {_MAGIC} Bloom filter file")
+            bf = cls(header["bytes"], header["hash_num"], header["k"])
+            data = f.read(bf.bytes)
+        bf.array = np.frombuffer(data, dtype=np.uint8).copy()
+        return bf
+
+
+class CountingBloomFilter8:
+    """8-bit counting Bloom filter with conservative (minimum) updates."""
+
+    def __init__(self, bytes_size: int = DEFAULT_CBF_BYTES, hash_num: int = DEFAULT_HASH_NUM, k: int = 0):
+        self.bytes = int(bytes_size)
+        self.size = np.uint64(self.bytes)  # one uint8 counter per byte
+        self.hash_num = int(hash_num)
+        self.k = int(k)
+        self.counters = np.zeros(self.bytes, dtype=np.uint8)
+
+    def contains(self, hashes: np.ndarray) -> np.ndarray:
+        """Minimum counter over the hash slots; hashes uint64[..., hash_num]."""
+        idx = (hashes % self.size).astype(np.int64)
+        return self.counters[idx].min(axis=-1)
+
+    def insert_thresh_contains(self, hashes: np.ndarray, threshold: int) -> int:
+        """Conservative insert capped at `threshold`; returns resulting count.
+
+        Single hash tuple (uint64[hash_num]).  Mirrors the reference call
+        pattern in fill_bfs (reference: src/utils.cpp:114-118).
+        """
+        idx = (np.asarray(hashes, dtype=np.uint64) % self.size).astype(np.int64)
+        vals = self.counters[idx]
+        m = int(vals.min())
+        if m >= threshold:
+            return m
+        self.counters[idx[vals == m]] = m + 1
+        return m + 1
+
+
+def fill_bfs(
+    seq_codes: np.ndarray,
+    hash_num: int,
+    k_values: list[int],
+    kmer_threshold: int,
+    cbfs: list[CountingBloomFilter8],
+    bfs: list[BloomFilter],
+) -> None:
+    """Host oracle of the reference BF fill (reference: src/utils.cpp:96-123).
+
+    Per k (in order), every k-mer of the read is inserted into the counting
+    BF with an escalating threshold (kmer_threshold-2 for the first k, +1 per
+    subsequent k) and promoted into the plain BF once the count reaches the
+    threshold.  Insertion order is the read's k-mer order — required for
+    determinism of the conservative-update dynamics.
+
+    Slow (python loop per k-mer): used as test oracle and small-input
+    fallback.  The production path is the native builder
+    (goldpolish_tpu/native) or the device builder (ops/bloom_jax.py).
+    """
+    from . import nthash as nt
+
+    if kmer_threshold < 4:
+        raise ValueError("kmer_threshold must be >= 4 (reference utils.cpp:105)")
+    thresh = kmer_threshold - 2
+    for k, cbf, bf in zip(k_values, cbfs, bfs):
+        if len(seq_codes) >= k:
+            base = nt.canonical_hashes(seq_codes, k)
+            all_hashes = nt.multi_hashes(base, k, hash_num)
+            for hs in all_hashes:
+                if cbf.insert_thresh_contains(hs, thresh) >= thresh:
+                    bf.insert(hs[None, :])
+        thresh += 1
+
+
+def load_any(path: str) -> BloomFilter:
+    if not os.path.exists(path):
+        raise FileNotFoundError(path)
+    return BloomFilter.load(path)

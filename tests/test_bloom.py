@@ -1,0 +1,108 @@
+"""Bloom filter behavior: host semantics, device parity, counting dynamics."""
+
+import numpy as np
+import pytest
+
+from goldpolish_tpu.ops import bloom, nthash as nt
+
+
+def _hashes_for(seq, k, h):
+    base = nt.canonical_hashes(nt.encode(seq), k)
+    return nt.multi_hashes(base, k, h)
+
+
+def test_insert_contains_roundtrip(tmp_path):
+    k, h = 32, 4
+    rng = np.random.default_rng(0)
+    seq = "".join(rng.choice(list("ACGT")) for _ in range(500))
+    bf = bloom.BloomFilter(1024, h, k)
+    hashes = _hashes_for(seq, k, h)
+    bf.insert(hashes)
+    assert bf.contains(hashes).all()
+    other = "".join(rng.choice(list("ACGT")) for _ in range(500))
+    other_h = _hashes_for(other, k, h)
+    # overwhelming majority of foreign k-mers must miss at this load factor
+    assert bf.contains(other_h).mean() < 0.5
+    # save/load round trip
+    p = tmp_path / "t.bf"
+    bf.save(str(p))
+    bf2 = bloom.BloomFilter.load(str(p))
+    assert np.array_equal(bf.array, bf2.array)
+    assert (bf2.k, bf2.hash_num, bf2.bytes) == (k, h, 1024)
+
+
+def test_counting_threshold_promotion():
+    """fill_bfs promotes a k-mer only once seen >= threshold times
+    (reference src/utils.cpp:108-121: first k uses kmer_threshold-2)."""
+    k, h, thresh = 32, 4, 4
+    rng = np.random.default_rng(1)
+    seq = "".join(rng.choice(list("ACGT")) for _ in range(100))
+    cbfs = [bloom.CountingBloomFilter8(1 << 16, h, k)]
+    bfs = [bloom.BloomFilter(1 << 14, h, k)]
+    codes = nt.encode(seq)
+    adjusted = thresh - 2  # == 2 for the first (and only) k
+    for copies in range(1, adjusted + 1):
+        bloom.fill_bfs(codes, h, [k], thresh, cbfs, bfs)
+        hashes = _hashes_for(seq, k, h)
+        if copies < adjusted:
+            assert not bfs[0].contains(hashes).any(), f"promoted too early at copy {copies}"
+        else:
+            assert bfs[0].contains(hashes).all(), "not promoted at threshold"
+
+
+def test_fill_bfs_escalating_thresholds():
+    """Threshold escalates +1 per k in k_values order (utils.cpp:108-121)."""
+    h, thresh = 4, 5
+    ks = [32, 28]
+    rng = np.random.default_rng(2)
+    seq = "".join(rng.choice(list("ACGT")) for _ in range(200))
+    cbfs = [bloom.CountingBloomFilter8(1 << 16, h, k) for k in ks]
+    bfs = [bloom.BloomFilter(1 << 14, h, k) for k in ks]
+    codes = nt.encode(seq)
+    # after 3 (=thresh-2) passes: k=32 promoted, k=28 (threshold 4) not yet
+    for _ in range(thresh - 2):
+        bloom.fill_bfs(codes, h, ks, thresh, cbfs, bfs)
+    assert bfs[0].contains(_hashes_for(seq, 32, h)).all()
+    assert not bfs[1].contains(_hashes_for(seq, 28, h)).any()
+    bloom.fill_bfs(codes, h, ks, thresh, cbfs, bfs)
+    assert bfs[1].contains(_hashes_for(seq, 28, h)).all()
+
+
+def test_fill_bfs_rejects_low_threshold():
+    with pytest.raises(ValueError):
+        bloom.fill_bfs(nt.encode("ACGT" * 10), 4, [8], 3, [], [])
+
+
+def test_device_probe_matches_host():
+    jnp_bloom = pytest.importorskip("goldpolish_tpu.ops.bloom_jax")
+    import jax.numpy as jnp
+
+    k, h = 32, 4
+    rng = np.random.default_rng(3)
+    seq = "".join(rng.choice(list("ACGT")) for _ in range(2000))
+    bf = bloom.BloomFilter(bloom.DEFAULT_BF_BYTES, h, k)
+    hashes = _hashes_for(seq, k, h)
+    bf.insert(hashes[::2])  # half in, half out
+    words = jnp_bloom.to_device_words(bf)
+    got = np.asarray(jnp_bloom.probe_words(words, int(bf.bits), jnp.asarray(hashes)))
+    want = bf.contains(hashes)
+    assert np.array_equal(got, want)
+    # full-pipeline probe from codes
+    got2 = np.asarray(
+        jnp_bloom.probe_kmers(words, int(bf.bits), h, k, jnp.asarray(nt.encode(seq)))
+    )
+    assert np.array_equal(got2, want)
+
+
+def test_device_build_matches_host():
+    jnp_bloom = pytest.importorskip("goldpolish_tpu.ops.bloom_jax")
+    import jax.numpy as jnp
+
+    k, h = 24, 4
+    rng = np.random.default_rng(4)
+    seq = "".join(rng.choice(list("ACGT")) for _ in range(3000))
+    hashes = _hashes_for(seq, k, h)
+    host = bloom.BloomFilter(bloom.DEFAULT_BF_BYTES, h, k)
+    host.insert(hashes)
+    dev_words = np.asarray(jnp_bloom.build_words(int(host.bits), jnp.asarray(hashes)))
+    assert np.array_equal(dev_words, host.words_u32())

@@ -1,0 +1,147 @@
+"""IO layer + native library parity tests."""
+
+import numpy as np
+import pytest
+
+from goldpolish_tpu.io import fasta, seqindex
+from goldpolish_tpu.ops import bloom, nthash as nt
+
+
+@pytest.fixture
+def sample_fastq(tmp_path):
+    p = tmp_path / "reads.fq"
+    p.write_text(
+        "@r1 some comment\nACGTACGTAA\n+\nIIIIIIIIII\n"
+        "@r2\nTTTTGGGGCC\n+\n!!!!!!!!!!\n"
+    )
+    return str(p)
+
+
+@pytest.fixture
+def sample_fasta(tmp_path):
+    p = tmp_path / "draft.fa"
+    p.write_text(">c1 first contig\nACGTACGTACGT\n>c2\nGGGGCCCC\n")
+    return str(p)
+
+
+def test_fasta_reader(sample_fasta):
+    recs = list(fasta.read_seqs(sample_fasta))
+    assert [r.id for r in recs] == ["c1", "c2"]
+    assert recs[0].comment == "first contig"
+    assert recs[0].name == "c1 first contig"
+    assert recs[1].seq == "GGGGCCCC"
+
+
+def test_fastq_reader(sample_fastq):
+    recs = list(fasta.read_seqs(sample_fastq))
+    assert recs[0].qual == "IIIIIIIIII"
+    assert recs[1].seq == "TTTTGGGGCC"
+
+
+def test_fasta_writer_roundtrip(tmp_path, sample_fasta):
+    out = str(tmp_path / "out.fa")
+    fasta.write_fasta(out, fasta.read_seqs(sample_fasta))
+    recs = list(fasta.read_seqs(out))
+    assert [r.seq for r in recs] == ["ACGTACGTACGT", "GGGGCCCC"]
+
+
+def test_gzip_reader(tmp_path):
+    import gzip
+
+    p = tmp_path / "reads.fa.gz"
+    with gzip.open(p, "wt") as f:
+        f.write(">a\nACGT\n")
+    recs = list(fasta.read_seqs(str(p)))
+    assert recs[0].seq == "ACGT"
+
+
+def test_seqindex_python_fasta(sample_fasta):
+    idx = seqindex.SeqIndex.build(sample_fasta, use_native=False)
+    assert idx.get_seq("c1") == b"ACGTACGTACGT"
+    assert idx.get_seq("c2") == b"GGGGCCCC"
+    assert idx.get_seq_len("c1") == 12
+    assert idx.seq_exists("c2") and not idx.seq_exists("c3")
+
+
+def test_seqindex_python_fastq_phred(sample_fastq):
+    idx = seqindex.SeqIndex.build(sample_fastq, use_native=False)
+    assert idx.get_seq("r1") == b"ACGTACGTAA"
+    # phred avg over first len-1 quals (reference seqindex.cpp:45)
+    assert idx.get_phred_avg("r1") == pytest.approx(ord("I") - 33)
+    assert idx.get_phred_avg("r2") == pytest.approx(0.0)
+
+
+def test_seqindex_tsv_roundtrip(tmp_path, sample_fastq):
+    idx = seqindex.SeqIndex.build(sample_fastq, use_native=False)
+    tsv = str(tmp_path / "reads.index")
+    idx.save(tsv)
+    idx2 = seqindex.SeqIndex.load(tsv, sample_fastq)
+    assert idx2.get_seq("r1") == b"ACGTACGTAA"
+    assert idx2.get_phred_avg("r1") == pytest.approx(idx.get_phred_avg("r1"))
+
+
+# --- native library ----------------------------------------------------------
+@pytest.fixture(scope="module")
+def native_lib():
+    native = pytest.importorskip("goldpolish_tpu.native")
+    try:
+        native.lib()
+    except native.NativeUnavailable as e:
+        pytest.skip(f"native unavailable: {e}")
+    return native
+
+
+def test_native_nthash_matches_numpy(native_lib):
+    rng = np.random.default_rng(0)
+    seq = "".join(rng.choice(list("ACGTacgtN")) for _ in range(500))
+    codes = nt.encode(seq)
+    for k in (20, 32):
+        got = native_lib.nthash_all(codes, k, 4)
+        base = nt.canonical_hashes(codes, k)
+        want = nt.multi_hashes(base, k, 4)
+        assert np.array_equal(got, want)
+
+
+def test_native_fill_bfs_matches_python(native_lib):
+    rng = np.random.default_rng(1)
+    reads = [
+        "".join(rng.choice(list("ACGT")) for _ in range(300)) for _ in range(6)
+    ]
+    ks = [32, 28]
+    h, thresh = 4, 5
+
+    def build(fill_fn):
+        cbfs = [bloom.CountingBloomFilter8(1 << 16, h, k) for k in ks]
+        bfs = [bloom.BloomFilter(1 << 14, h, k) for k in ks]
+        for r in reads * 4:  # repeat so promotions happen
+            fill_fn(nt.encode(r), h, ks, thresh, cbfs, bfs)
+        return cbfs, bfs
+
+    cbfs_py, bfs_py = build(bloom.fill_bfs)
+    cbfs_nat, bfs_nat = build(native_lib.fill_bfs)
+    for a, b in zip(cbfs_py, cbfs_nat):
+        assert np.array_equal(a.counters, b.counters)
+    for a, b in zip(bfs_py, bfs_nat):
+        assert np.array_equal(a.array, b.array)
+    assert bfs_py[0].pop_count > 0  # something was promoted
+
+
+def test_native_bf_contains(native_lib):
+    rng = np.random.default_rng(2)
+    seq = "".join(rng.choice(list("ACGT")) for _ in range(400))
+    k, h = 32, 4
+    bf = bloom.BloomFilter(1 << 14, h, k)
+    hashes = nt.multi_hashes(nt.canonical_hashes(nt.encode(seq), k), k, h)
+    bf.insert(hashes[::3])
+    got = native_lib.bf_contains(bf, hashes)
+    assert np.array_equal(got, bf.contains(hashes))
+
+
+def test_native_seqindex_matches_python(native_lib, tmp_path, sample_fastq):
+    idx_nat = seqindex.SeqIndex.build(sample_fastq, use_native=True)
+    idx_py = seqindex.SeqIndex.build(sample_fastq, use_native=False)
+    for rid in idx_py.ids():
+        assert idx_nat.get_seq(rid) == idx_py.get_seq(rid)
+        assert idx_nat.get_phred_avg(rid) == pytest.approx(
+            idx_py.get_phred_avg(rid)
+        )
