@@ -1,0 +1,441 @@
+"""Konnector-style gap bridging over the Bloom-filter de Bruijn graph.
+
+Reimplements the reference's connectPairs machinery
+(reference: subprojects/sealer/Konnector/konnector.h:234-438,
+DBGBloomAlgorithms.h:51-108, Graph/BidirectionalBFS.h:80-156,
+Graph/ConstrainedBidiBFSVisitor.h):
+
+ * anchor k-mer selection on each flank with the 3-consecutive-hits rule and
+   longest-run fallback, scanning from the gap side (getStartKmerPos with
+   FORWARD direction = right-to-left roll_back),
+ * alternating two-frontier BFS between the left anchor and the
+   reverse-complemented right anchor, expanding via 4-way Bloom membership
+   probes, with the reference's constraint set: depth split
+   ceil/floor((maxPathLen-1)/2), max active branches (queue size), max cost
+   (edge examinations), max common edges (maxPaths), cycle-free by color
+   maps,
+ * path enumeration from the recorded traversal DAGs per common edge with
+   the min/max path-length window, then unique-path merge or NW-MSA
+   consensus (fill/nw.py) for multiple paths,
+ * flank overlay + mismatch count (maskNew semantics).
+
+Vertices are kmer strings (host path).  The per-step 4-way extension probes
+are vectorized with the closed-form hash; a device-batched multi-gap
+frontier kernel is the planned optimization (the BF probe math is shared
+with the ntEdit engine).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ..ops import nthash as nt
+
+NO_MATCH = -1
+NO_LIMIT = 0xFFFFFFFF
+
+_COMP = str.maketrans("ACGTacgt", "TGCAtgca")
+
+
+def revcomp(s: str) -> str:
+    return s.translate(_COMP)[::-1]
+
+
+class DBG:
+    """Bloom-filter de Bruijn graph with batched probes."""
+
+    def __init__(self, bf, k: int):
+        self.bf = bf
+        self.k = k
+        self.h = bf.hash_num
+
+    def _probe_many(self, kmers: list[str]) -> np.ndarray:
+        if not kmers:
+            return np.zeros(0, bool)
+        arr = np.frombuffer("".join(kmers).encode(), np.uint8).reshape(
+            len(kmers), self.k
+        )
+        from ..ops.siteeval import _batch_forward_np, _batch_reverse_np
+
+        base = (
+            _batch_forward_np(arr, self.k) + _batch_reverse_np(arr, self.k)
+        )[..., 0]
+        hashes = nt.multi_hashes(base, self.k, self.h)
+        return self.bf.contains(hashes)
+
+    def contains_kmer(self, kmer: str) -> bool:
+        _, _, hv = nt.ntc64_base(np.frombuffer(kmer.encode(), np.uint8), self.k)
+        return self.bf.contains_one(nt.multi_hashes(np.uint64(hv), self.k, self.h))
+
+    def window_probes(self, seq: str) -> tuple[np.ndarray, np.ndarray]:
+        """(present[], acgt_valid[]) for every k-window of seq."""
+        codes = np.frombuffer(seq.encode(), np.uint8)
+        n = len(codes)
+        k = self.k
+        if n < k:
+            return np.zeros(0, bool), np.zeros(0, bool)
+        base = nt.canonical_hashes(codes, k)
+        present = self.bf.contains(nt.multi_hashes(base, k, self.h))
+        is_acgt = np.isin(codes, np.frombuffer(b"ACGT", np.uint8))
+        c = np.concatenate(([0], np.cumsum(~is_acgt)))
+        valid = (c[k:] - c[:-k]) == 0
+        return present, valid
+
+    def successors(self, kmer: str) -> list[str]:
+        cands = [kmer[1:] + b for b in "ACGT"]
+        hits = self._probe_many(cands)
+        return [c for c, hit in zip(cands, hits) if hit]
+
+    def predecessors(self, kmer: str) -> list[str]:
+        cands = [b + kmer[:-1] for b in "ACGT"]
+        hits = self._probe_many(cands)
+        return [c for c, hit in zip(cands, hits) if hit]
+
+
+def get_start_kmer_pos(dbg: DBG, seq: str, num_matches_threshold: int = 3) -> int:
+    """Anchor k-mer choice, FORWARD direction (right-to-left scan with
+    skip-aware run counting) — reference DBGBloomAlgorithms.h:51-108."""
+    k = dbg.k
+    if len(seq) < k:
+        return NO_MATCH
+    present, valid = dbg.window_probes(seq)
+    # emulate btllib NtHash roll_back from the last window: positions with
+    # non-ACGT are skipped (position jumps break runs)
+    positions = [p for p in range(len(present) - 1, -1, -1) if valid[p]]
+    match_count = 0
+    max_len = 0
+    max_pos = 0
+    prev_pos = len(present)  # start_pos - step with step=-1
+    for p in positions:
+        if (prev_pos - p > 1) or not present[p]:
+            if match_count > max_len:
+                max_pos = p + 1
+                max_len = match_count
+            match_count = 0
+        else:
+            match_count += 1
+            if match_count >= num_matches_threshold:
+                return p
+        prev_pos = p
+    if match_count > max_len:
+        max_pos = prev_pos
+        max_len = match_count
+    return max_pos if max_len > 0 else NO_MATCH
+
+
+@dataclass
+class SearchResult:
+    path_result: str = "NO_PATH"
+    paths: list[list[str]] = field(default_factory=list)
+    cost: int = 0
+    num_nodes_visited: int = 0
+    max_active_branches: int = 0
+    found_start: bool = False
+    found_goal: bool = False
+    start_kmer_pos: int = NO_MATCH
+    goal_kmer_pos: int = NO_MATCH
+    merged_seqs: list[str] = field(default_factory=list)
+    consensus: str = ""
+    read_mismatches: int = 0
+    path_mismatches: int = 0
+
+
+class _BidiSearch:
+    """Alternating two-frontier constrained BFS (reference
+    BidirectionalBFS.h + ConstrainedBidiBFSVisitor.h)."""
+
+    FORWARD, REVERSE = 0, 1
+
+    def __init__(self, dbg: DBG, start: str, goal: str, max_paths: int,
+                 min_path_len: int, max_path_len: int, max_branches: int,
+                 max_cost: int):
+        self.dbg = dbg
+        self.start = start
+        self.goal = goal
+        self.max_paths = max_paths
+        self.min_path_len = min_path_len
+        self.max_path_len = max_path_len
+        self.max_branches = max_branches
+        self.max_cost = max_cost
+        max_depth = max_path_len - 1
+        self.max_depth = [max_depth // 2 + max_depth % 2, max_depth // 2]
+        self.depth = [dict(), dict()]
+        self.color = [dict(), dict()]  # vertex -> 1 gray / 2 black
+        self.trav = [dict(), dict()]  # traversal DAG: child -> set(parents-ward)
+        self.common_edges: list[tuple[str, str]] = []
+        self._common_set = set()
+        self.cost = 0
+        self.nodes_visited = 0
+        self.peak_branches = 0
+        self.too_many_paths = False
+        self.too_many_branches = False
+        self.max_cost_exceeded = False
+
+    def _record_traversal(self, dirn, u, v):
+        # FORWARD records v -> u (edges pointing back toward start);
+        # REVERSE records u -> v (toward goal)  [visitor:recordEdgeTraversal]
+        if dirn == self.FORWARD:
+            self.trav[self.FORWARD].setdefault(v, []).append(u)
+        else:
+            self.trav[self.REVERSE].setdefault(u, []).append(v)
+
+    def run(self):
+        F, R = self.FORWARD, self.REVERSE
+        q = [[self.start], [self.goal]]
+        self.color[F][self.start] = 1
+        self.color[R][self.goal] = 1
+        # discover_vertex for the two seeds
+        for dirn in (F, R):
+            self.nodes_visited += 1
+            self.peak_branches = max(self.peak_branches, len(q[dirn]) + 1)
+        dirn = F
+        import collections
+
+        q = [collections.deque([self.start]), collections.deque([self.goal])]
+        while q[F] or q[R]:
+            Q = q[dirn]
+            u = Q.popleft()
+            edges = (
+                [(u, v) for v in self.dbg.successors(u)]
+                if dirn == F
+                else [(v, u) for v in self.dbg.predecessors(u)]
+            )
+            for (eu, ev) in edges:
+                if not self._visit_edge(dirn, eu, ev, q):
+                    return
+            self.color[dirn][u] = 2
+            if dirn == R and q[F]:
+                dirn = F
+            elif dirn == F and q[R]:
+                dirn = R
+
+    def _visit_edge(self, dirn, u, v, q) -> bool:
+        """Returns False to abort the whole search."""
+        F, R = self.FORWARD, self.REVERSE
+        child = v if dirn == F else u
+        parent = u if dirn == F else v
+        other = R if dirn == F else F
+        if child in self.color[other]:
+            # common edge (visitor.common_edge)
+            if self.cost >= self.max_cost:
+                self.max_cost_exceeded = True
+                return False
+            self.cost += 1
+            if self.depth[dirn].get(parent, 0) >= self.max_depth[dirn]:
+                return True  # SKIP_ELEMENT
+            edge = (u, v)
+            if edge not in self._common_set:
+                self._common_set.add(edge)
+                self.common_edges.append(edge)
+                if self.max_paths != NO_LIMIT and len(self.common_edges) > self.max_paths:
+                    self.too_many_paths = True
+                    return False
+                # record in both traversal graphs (visitor:recordCommonEdge)
+                self._record_traversal(F, u, v)
+                self._record_traversal(R, u, v)
+            else:
+                self._record_traversal(F, u, v)
+                self._record_traversal(R, u, v)
+            return True
+        if child not in self.color[dirn]:
+            # tree edge
+            if self.cost >= self.max_cost:
+                self.max_cost_exceeded = True
+                return False
+            self.cost += 1
+            pd = self.depth[dirn].get(parent, 0)
+            if pd == self.max_depth[dirn]:
+                return True  # SKIP: do not expand deeper
+            self.depth[dirn][child] = pd + 1
+            self._record_traversal(dirn, u, v)
+            # discover_vertex
+            if self.max_branches != NO_LIMIT and len(q[dirn]) >= self.max_branches:
+                self.too_many_branches = True
+                return False
+            self.nodes_visited += 1
+            self.peak_branches = max(self.peak_branches, len(q[dirn]) + 1)
+            self.color[dirn][child] = 1
+            q[dirn].append(child)
+            return True
+        # non-tree edge
+        if self.cost >= self.max_cost:
+            self.max_cost_exceeded = True
+            return False
+        self.cost += 1
+        self._record_traversal(dirn, u, v)
+        return True
+
+    # -- path enumeration (visitor:buildPaths) --------------------------------
+    def _all_paths(self, graph, start, goal, max_paths, max_depth, max_cost):
+        """All simple-ish paths start->goal in the recorded DAG (may contain
+        cycles -> bounded by depth); returns (status, paths, cost)."""
+        paths = []
+        cost = 0
+        stack = [(start, [start])]
+        while stack:
+            cost += 1
+            if cost > max_cost:
+                return "MAX_COST_EXCEEDED", [], cost
+            node, path = stack.pop()
+            if node == goal:
+                paths.append(path)
+                if max_paths != NO_LIMIT and len(paths) > max_paths:
+                    return "TOO_MANY_PATHS", [], cost
+                continue
+            if len(path) - 1 >= max_depth:
+                continue
+            for nxt in graph.get(node, []):
+                if nxt in path:  # cycle guard
+                    continue
+                stack.append((nxt, path + [nxt]))
+        if not paths:
+            return "NO_PATH", [], cost
+        return "FOUND_PATH", paths, cost
+
+    def paths_to_goal(self):
+        F, R = self.FORWARD, self.REVERSE
+        if self.too_many_paths:
+            return "TOO_MANY_PATHS", []
+        if self.too_many_branches:
+            return "TOO_MANY_BRANCHES", []
+        if self.max_cost_exceeded:
+            return "MAX_COST_EXCEEDED", []
+        found = []
+        overall = "NO_PATH"
+        for (u, v) in self.common_edges:
+            if self.cost > self.max_cost:
+                return "MAX_COST_EXCEEDED", []
+            max_to_start = self.max_paths - len(found)
+            st, left, c = self._all_paths(
+                self.trav[F], u, self.start, max_to_start, self.max_depth[F],
+                self.max_cost - self.cost,
+            )
+            self.cost += c
+            if st == "FOUND_PATH":
+                max_to_goal = (self.max_paths - len(found)) // len(left)
+                st, right, c = self._all_paths(
+                    self.trav[R], v, self.goal, max_to_goal, self.max_depth[R],
+                    self.max_cost - self.cost,
+                )
+                self.cost += c
+                if st == "FOUND_PATH":
+                    added = False
+                    for lp in left:
+                        for rp in right:
+                            total = len(lp) + len(rp)
+                            if total < self.min_path_len or total > self.max_path_len:
+                                continue
+                            found.append(list(reversed(lp)) + rp)
+                            added = True
+                    st = "FOUND_PATH" if added else "NO_PATH"
+            if st == "FOUND_PATH":
+                overall = "FOUND_PATH"
+            elif st != "NO_PATH":
+                if st == "MAX_COST_EXCEEDED":
+                    self.max_cost_exceeded = True
+                elif st == "TOO_MANY_PATHS":
+                    self.too_many_paths = True
+                return st, []
+        return overall, found
+
+
+def path_to_seq(path: list[str], k: int) -> str:
+    """Kmer path -> sequence (reference DBGBloomAlgorithms.h pathToSeq)."""
+    return path[0] + "".join(km[-1] for km in path[1:])
+
+
+def mask_new(read1: str, read2: str, merged: str) -> tuple[str, int]:
+    """Flank overlay + mismatch count (reference DBGBloomAlgorithms.h:183-210,
+    mask=0 path).  Returns (merged_with_flank_case, mismatches)."""
+    r1 = read1
+    r2 = revcomp(read2)
+    m = list(merged)
+    mismatches = 0
+    for i, c in enumerate(r1):
+        if i < len(m) and c == m[i]:
+            m[i] = c.upper()
+        else:
+            mismatches += 1
+    off = len(m) - len(r2)
+    for i, c in enumerate(r2):
+        if c == m[off + i]:
+            m[off + i] = c.upper()
+        else:
+            mismatches += 1
+    return "".join(m), mismatches
+
+
+@dataclass
+class ConnectPairsParams:
+    """Reference konnector.h:139-175 defaults + sealer main overrides."""
+
+    min_merged_seq_len: int = 0
+    max_merged_seq_len: int = 1000
+    max_paths: int = NO_LIMIT
+    max_branches: int = NO_LIMIT
+    max_cost: int = NO_LIMIT
+    max_path_mismatches: int = NO_LIMIT
+    max_read_mismatches: int = NO_LIMIT
+
+
+def connect_pairs(dbg: DBG, read1: str, read2: str, params: ConnectPairsParams) -> SearchResult:
+    """reference konnector.h:234-438 (fixErrors/preserveReads both false in
+    the sealer pipeline)."""
+    from . import nw
+
+    k = dbg.k
+    res = SearchResult()
+    if len(read1) < k or len(read2) < k:
+        return res
+    start_pos = get_start_kmer_pos(dbg, read1, 3)
+    goal_pos = get_start_kmer_pos(dbg, read2, 3)
+    if start_pos == NO_MATCH or goal_pos == NO_MATCH:
+        return res
+    res.found_start = res.found_goal = True
+    res.start_kmer_pos = start_pos
+    res.goal_kmer_pos = goal_pos
+    start_kmer = read1[start_pos : start_pos + k]
+    goal_kmer = revcomp(read2[goal_pos : goal_pos + k])
+
+    max_path_len = params.max_merged_seq_len - k + 1 - start_pos - goal_pos
+    min_path_len = max(0, params.min_merged_seq_len - k + 1 - start_pos - goal_pos)
+    min_path_len = max(
+        min_path_len,
+        len(read1) - k + 1 - start_pos,
+        len(read2) - k + 1 - goal_pos,
+    )
+    search = _BidiSearch(
+        dbg, start_kmer, goal_kmer, params.max_paths, min_path_len,
+        max_path_len, params.max_branches, params.max_cost,
+    )
+    # special case: identical start/goal kmer is an immediate single-node path
+    if start_kmer == goal_kmer:
+        res.path_result = "FOUND_PATH"
+        paths = [[start_kmer]]
+    else:
+        search.run()
+        res.cost = search.cost
+        res.num_nodes_visited = search.nodes_visited
+        res.max_active_branches = search.peak_branches
+        res.path_result, paths = search.paths_to_goal()
+    if res.path_result != "FOUND_PATH":
+        return res
+
+    seq_prefix = read1[:start_pos]
+    seq_suffix = revcomp(read2[:goal_pos])
+    connecting = [path_to_seq(p, k) for p in paths]
+    if len(connecting) == 1:
+        merged = seq_prefix + connecting[0] + seq_suffix
+        merged, res.read_mismatches = mask_new(read1, read2, merged)
+        res.merged_seqs = [merged]
+        res.consensus = merged
+    else:
+        matches, size, cons = nw.align_multi(connecting)
+        res.path_mismatches = size - matches
+        merged = seq_prefix + cons + seq_suffix
+        merged, res.read_mismatches = mask_new(read1, read2, merged)
+        res.consensus = merged
+        res.merged_seqs = [seq_prefix + c + seq_suffix for c in connecting]
+    return res

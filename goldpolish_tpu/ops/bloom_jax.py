@@ -14,6 +14,7 @@ mask — checked statically below.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -47,6 +48,8 @@ def probe_kmers(words: jnp.ndarray, bits: int, hash_num: int, k: int, codes: jnp
     base = ntj.canonical_hashes(codes, k)
     hashes = ntj.multi_hashes(base, k, hash_num)
     return probe_words(words, bits, hashes)
+
+
 
 
 def build_words(bits: int, hashes: jnp.ndarray, mask=None) -> jnp.ndarray:
@@ -105,3 +108,9 @@ def counted_build_words(
     if mask is not None:
         promote = promote & mask.reshape(-1)
     return build_words(bits_bf, hashes.reshape(-1, hash_num), mask=promote)
+
+# Jitted entry points (always use these from host code; eager u64 dispatch
+# is pathologically slow).
+probe_kmers_jit = jax.jit(probe_kmers, static_argnums=(1, 2, 3))
+probe_words_jit = jax.jit(probe_words, static_argnums=1)
+build_words_jit = jax.jit(build_words, static_argnums=0)

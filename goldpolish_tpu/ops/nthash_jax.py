@@ -47,6 +47,22 @@ def srol_n(v, n):
     return (hi << jnp.uint64(33)) | lo
 
 
+def cumxor(a):
+    """Inclusive prefix-XOR along the last axis (Hillis-Steele, log-depth).
+
+    Chosen over lax.associative_scan: the unrolled shift/XOR ladder compiles
+    in ~1s where associative_scan's odd/even recursion takes tens of seconds
+    for uint64 inputs.
+    """
+    n = a.shape[-1]
+    pad = [(0, 0)] * (a.ndim - 1)
+    shift = 1
+    while shift < n:
+        a = a ^ jnp.pad(a, pad + [(shift, 0)])[..., :n]
+        shift *= 2
+    return a
+
+
 def _window_xor(prefix, k):
     """XOR over each k-window given a prefix-XOR array (last axis)."""
     n = prefix.shape[-1]
@@ -60,7 +76,7 @@ def forward_hashes(codes, k: int):
     n = codes.shape[-1]
     idx = jnp.arange(n, dtype=jnp.int32)
     a = srol_n(SEED_TAB[codes], (-idx) % SROL_PERIOD)
-    p = jax.lax.associative_scan(jnp.bitwise_xor, a, axis=-1)
+    p = cumxor(a)
     w = _window_xor(p, k)
     wi = jnp.arange(n - k + 1, dtype=jnp.int32)
     return srol_n(w, (wi + k - 1) % SROL_PERIOD)
@@ -71,7 +87,7 @@ def reverse_hashes(codes, k: int):
     n = codes.shape[-1]
     idx = jnp.arange(n, dtype=jnp.int32)
     b = srol_n(RC_SEED_TAB[codes], idx % SROL_PERIOD)
-    q = jax.lax.associative_scan(jnp.bitwise_xor, b, axis=-1)
+    q = cumxor(b)
     w = _window_xor(q, k)
     wi = jnp.arange(n - k + 1, dtype=jnp.int32)
     return srol_n(w, (-wi) % SROL_PERIOD)
@@ -101,3 +117,11 @@ def multi_hashes(base_hash, k: int, m: int):
     for i in range(1, m):
         outs.append(nte64(base_hash, k, i))
     return jnp.stack(outs, axis=-1)
+
+
+# Jitted entry points (eager-mode u64 dispatch is extremely slow; always go
+# through these from host code).  Recompiles per input shape — callers
+# bucket/pad shapes.
+canonical_hashes_jit = jax.jit(canonical_hashes, static_argnums=1)
+strand_hashes_jit = jax.jit(strand_hashes, static_argnums=1)
+multi_hashes_jit = jax.jit(multi_hashes, static_argnums=(1, 2))

@@ -1,0 +1,191 @@
+"""Bulk polishing driver — the polish_seqs equivalent.
+
+The full per-batch chain of the reference
+(reference: scripts/goldpolish:446-583 + goldpolish-polish-batch:70-100 +
+goldpolish-make:62-72):
+
+    batch.fa -> [multi-k ntEdit, X=Y=0.5, -m1 -a1]
+             -> [goldpolish-mask -s -k<first k>]
+             -> [sealer -L<first k> -P10 -B1000 --lower]
+             -> [to-upper]
+
+run in-process: per batch, mapped reads are pulled through the SeqIndex,
+filled into per-batch multi-k Bloom filters (native host loop), and the
+chain executes with the TPU two-phase editor and the Konnector gap filler.
+Batches run concurrently under an asyncio pool with a strictly ordered
+writer and a checkpoint manifest (pipeline.engine).
+"""
+
+from __future__ import annotations
+
+import asyncio
+import os
+from dataclasses import dataclass
+
+from ..bf_builder import BFBuilder
+from ..config import PipelineConfig
+from ..fill import sealer as sealer_mod
+from ..io import fasta, seqindex
+from ..mappings import AllMappings
+from ..polish import mask as mask_mod
+from ..polish import multik
+from ..utils.log import get_logger
+from . import engine
+
+log = get_logger("bulk")
+
+
+def build_indexes(cfg: PipelineConfig, workspace: str):
+    """Build (or load cached) SeqIndexes (reference goldpolish-make:50-51)."""
+
+    def index_for(path: str) -> seqindex.SeqIndex:
+        cache = os.path.join(workspace, os.path.basename(path) + ".index")
+        if os.path.exists(cache) and os.path.getmtime(cache) >= os.path.getmtime(path):
+            return seqindex.SeqIndex.load(cache, path)
+        idx = seqindex.SeqIndex.build(path)
+        idx.save(cache)
+        return idx
+
+    return index_for(cfg.seqs_to_polish), index_for(cfg.polishing_seqs)
+
+
+def resolve_mappings(cfg: PipelineConfig, target_index) -> AllMappings:
+    """Load provided mappings or invoke an external mapper
+    (reference: scripts/goldpolish:204-295; mappers stay external exactly as
+    in the reference, which shells out to ntLink/minimap2)."""
+    path = cfg.mappings_path
+    if not path:
+        import shutil
+        import subprocess
+
+        if cfg.mapper == "minimap2" and shutil.which("minimap2"):
+            path = f"{os.path.basename(cfg.seqs_to_polish)}.{os.path.basename(cfg.polishing_seqs)}.paf"
+            with open(path, "w") as out:
+                subprocess.run(
+                    ["minimap2", f"-t{cfg.threads}", cfg.seqs_to_polish,
+                     cfg.polishing_seqs],
+                    stdout=out, check=True,
+                )
+        elif cfg.mapper == "ntlink" and shutil.which("ntLink"):
+            subprocess.run(
+                ["ntLink", f"t={cfg.threads}", f"target={cfg.seqs_to_polish}",
+                 f"reads={cfg.polishing_seqs}", "pair", "verbose=True",
+                 f"k={cfg.k_ntlink}", f"w={cfg.w_ntlink}", "sensitive=True"],
+                check=True,
+            )
+            path = (
+                f"{os.path.basename(cfg.seqs_to_polish)}"
+                f".k{cfg.k_ntlink}.w{cfg.w_ntlink}.z1000.mapping.tsv"
+            )
+        else:
+            raise RuntimeError(
+                f"mapper '{cfg.mapper}' not available and no --mappings given"
+            )
+    return AllMappings.load(
+        path, target_index,
+        mx_max_mapped_seqs_per_target_10kbp=cfg.mx_max_reads_per_10kbp,
+    )
+
+
+@dataclass
+class BatchResult:
+    records: list
+    stats: dict
+
+
+def polish_batch_records(records, builder: BFBuilder, cfg: PipelineConfig,
+                         engines_cache=None) -> BatchResult:
+    """One batch through the full chain (ntedit -> mask -> sealer -> upper)."""
+    ids = [h.split()[0] for h, _ in records]
+    batch_bfs = builder.build_batch(ids)
+    stats: dict = {}
+    # 1. multi-k ntEdit with rollback guard
+    edited, mk_stats = multik.polish_multik(
+        records, batch_bfs, k_values=cfg.k_values,
+        x=cfg.ntedit_x, y=cfg.ntedit_y, backend=cfg.backend,
+    )
+    stats["ntedit"] = mk_stats
+    if cfg.run_sealer:
+        # 2. mask short runs (soft, k = first k)
+        prepped = [
+            (h, mask_mod.mask_short_runs(s, cfg.k_values[0], soft=True))
+            for h, s in edited
+        ]
+        # 3. sealer gap fill
+        scfg = sealer_mod.SealerConfig(
+            k_values=cfg.k_values,
+            flank_length=cfg.k_values[0],
+            max_gap_length=cfg.sealer_max_gap_length,
+            max_paths=cfg.sealer_max_paths,
+            max_branches=cfg.sealer_max_branches,
+            max_cost=cfg.sealer_max_cost,
+            verbose=cfg.verbose,
+        )
+        bfs_by_k = {k: batch_bfs.bf_for_k(k) for k in cfg.k_values}
+        sealed, seal_stats = sealer_mod.seal_records(prepped, bfs_by_k, scfg)
+        stats["sealer"] = seal_stats
+    else:
+        sealed = edited
+    # 4. uppercase
+    final = [(h, mask_mod.to_upper(s)) for h, s in sealed]
+    return BatchResult(records=final, stats=stats)
+
+
+def run_bulk(cfg: PipelineConfig) -> dict:
+    """Polish cfg.seqs_to_polish with cfg.polishing_seqs -> cfg.output_seqs.
+
+    Returns aggregate stats.  Output record order always equals input order
+    (ordered-writer / reaper contract).
+    """
+    ws = engine.Workspace(
+        prefix=f"goldpolish-tpu-{os.getpid()}",
+        base=cfg.workspace or None,
+    )
+    try:
+        target_index, reads_index = build_indexes(cfg, ws.dir)
+        all_mappings = resolve_mappings(cfg, target_index)
+        builder = BFBuilder(
+            target_index, reads_index, all_mappings, cfg.k_values,
+            hash_num=cfg.hash_num, cbf_bytes=cfg.cbf_bytes,
+            bf_bytes=cfg.bf_bytes,
+            subsample_max_mapped_seqs_per_target_10kbp=cfg.resolved_subsample(),
+        )
+        records = ((r.name, r.seq) for r in fasta.read_seqs(cfg.seqs_to_polish))
+        batches = list(engine.make_batches(records, cfg.batch_size))
+        manifest = engine.CheckpointManifest(cfg.checkpoint or None)
+        totals = {"batches": len(batches), "contigs": 0, "bases_out": 0}
+        writer = fasta.FastaWriter(cfg.output_seqs)
+
+        loop = asyncio.new_event_loop()
+
+        async def worker(batch: engine.Batch):
+            return await loop.run_in_executor(
+                None, polish_batch_records, batch.records, builder, cfg
+            )
+
+        def sink(result: BatchResult):
+            for header, seq in result.records:
+                writer.write((header, seq))
+                totals["contigs"] += 1
+                totals["bases_out"] += len(seq)
+
+        try:
+            loop.run_until_complete(
+                engine.run_pipeline(
+                    batches, worker, sink,
+                    max_concurrent=cfg.max_concurrent_batches,
+                    manifest=manifest,
+                )
+            )
+        finally:
+            writer.close()
+            manifest.close()
+            loop.close()
+        log.info(
+            "polished %d contigs (%d bases) in %d batches -> %s",
+            totals["contigs"], totals["bases_out"], totals["batches"],
+            cfg.output_seqs,
+        )
+        return totals
+    finally:
+        ws.cleanup()

@@ -177,6 +177,192 @@ def is_repeat_insertion(s: str) -> bool:
     return length > 0 and n % (n - length) == 0
 
 
+def accept_edit(cfg: Config, check_present: int) -> bool:
+    """Sub/ins accept rule (reference ntedit.cpp:1621-1626, 1333-1337).
+
+    float32 arithmetic to match the reference's C++ float comparisons.
+    """
+    c = np.float32(check_present)
+    if not cfg.use_ratio:
+        return bool(c >= np.float32(cfg.k) / np.float32(cfg.edit_threshold))
+    return bool(
+        c >= (np.float32(cfg.k) / np.float32(cfg.jump)) * np.float32(cfg.edit_ratio)
+    )
+
+
+def accept_del(cfg: Config, check_present: int) -> bool:
+    """Deletion accept rule — note the extra 1+ term (reference :1226-1231)."""
+    c = np.float32(check_present)
+    if not cfg.use_ratio:
+        return bool(c >= np.float32(cfg.k) / np.float32(cfg.edit_threshold))
+    return bool(
+        c >= (np.float32(1) + np.float32(cfg.k) / np.float32(cfg.jump))
+        * np.float32(cfg.edit_ratio)
+    )
+
+
+def accept_missing(cfg: Config, check_missing: int) -> bool:
+    """Missing-kmer rule gating candidate trials (reference :1517-1523)."""
+    c = np.float32(check_missing)
+    if not cfg.use_ratio:
+        return bool(c >= np.float32(cfg.k) / np.float32(cfg.missing_threshold))
+    return bool(
+        c
+        >= (np.float32(cfg.k) / np.float32(cfg.jump)) * np.float32(cfg.missing_ratio)
+    )
+
+
+def update_sub_best(best: dict, sub_base: int, check_present: int) -> None:
+    """Best-substitution + alt-base bookkeeping (reference :1628-1677)."""
+    if check_present >= best["num_support"]:
+        if best["altsupp2"]:
+            best["altbase3"] = best["altbase2"]
+            best["altsupp3"] = best["altsupp2"]
+        if best["altsupp1"]:
+            best["altbase2"] = best["altbase1"]
+            best["altsupp2"] = best["altsupp1"]
+        if best["num_support"]:
+            best["altsupp1"] = best["num_support"]
+            best["altbase1"] = best["sub_base"]
+        best["edit_type"] = 1
+        best["sub_base"] = sub_base
+        best["num_support"] = check_present
+    else:
+        if not best["altsupp1"]:
+            best["altbase1"] = sub_base
+            best["altsupp1"] = check_present
+        elif not best["altsupp2"]:
+            if check_present < best["altsupp1"]:
+                best["altbase2"] = sub_base
+                best["altsupp2"] = check_present
+            else:
+                best["altbase2"] = best["altbase1"]
+                best["altsupp2"] = best["altsupp1"]
+                best["altbase1"] = sub_base
+                best["altsupp1"] = check_present
+        elif not best["altsupp3"]:
+            if check_present < best["altsupp2"]:
+                best["altbase3"] = sub_base
+                best["altsupp3"] = check_present
+            elif check_present < best["altsupp1"]:
+                best["altbase3"] = best["altbase2"]
+                best["altsupp3"] = best["altsupp2"]
+                best["altbase2"] = sub_base
+                best["altsupp2"] = check_present
+            else:
+                best["altbase3"] = best["altbase2"]
+                best["altsupp3"] = best["altsupp2"]
+                best["altbase2"] = best["altbase1"]
+                best["altsupp2"] = best["altsupp1"]
+                best["altbase1"] = sub_base
+                best["altsupp1"] = check_present
+
+
+def new_best() -> dict:
+    return {
+        "edit_type": 0,
+        "indel": b"",
+        "alt_indel": b"",
+        "sub_base": 0,
+        "num_support": 0,
+        "altbase1": 0, "altsupp1": 0,
+        "altbase2": 0, "altsupp2": 0,
+        "altbase3": 0, "altsupp3": 0,
+    }
+
+
+class NeedMoreCombos(Exception):
+    """Raised by tiered trial providers when the trial loop requests an
+    insertion combo beyond the evaluated tier."""
+
+
+def run_trials(cfg: Config, draft_char: int, provider, check_there: int = 0) -> dict:
+    """The reference's candidate-trial loop (ntedit.cpp:1525-1713), decision
+    logic only — probes are delegated to `provider`:
+
+      provider.sub_trial(ci)    -> (gate_in_bf: bool, raw check_present: int)
+      provider.ins_trial(ci, i) -> raw check_present
+      provider.del_trial(d)     -> raw check_present
+
+    Shared verbatim between the scalar oracle editor and the TPU engine's
+    table replay, so both produce byte-identical decisions.
+    """
+    best = new_best()
+    num_deletions = 1
+    if cfg.snv and accept_edit(cfg, check_there):
+        best["sub_base"] = draft_char
+        best["num_support"] = check_there
+
+    bases = cfg.bases_array.get(chr(draft_char), "")
+    for ci, sub_base_s in enumerate(bases):
+        sub_base = ord(sub_base_s)
+        gate, check_present = provider.sub_trial(ci)
+        if gate or cfg.mode == 2:
+            if accept_edit(cfg, check_present):
+                update_sub_best(best, sub_base, check_present)
+                if cfg.mode in (0, 1):
+                    continue
+            if cfg.mode == 2 or best["edit_type"] != 1:
+                found, num_deletions = _run_indel_trials(
+                    cfg, draft_char, ci, num_deletions, provider, best
+                )
+                if found and cfg.mode in (0, 1):
+                    break
+    return best
+
+
+def _run_indel_trials(cfg: Config, draft_char: int, ci: int, num_deletions: int,
+                      provider, best: dict):
+    """tryIndels decision structure (reference ntedit.cpp:1237-1411)."""
+    t_best_support = 0
+    t_alt_support = 0
+    t_best_indel = b""
+    t_alt_indel = b""
+    t_best_type = 0
+    index_char = ord(cfg.bases_array[chr(draft_char)][ci])
+    for i in range(NUM_TRIES[cfg.max_insertions]):
+        check_present = provider.ins_trial(ci, i)
+        ins_bases = MULTI_POSSIBLE_BASES[chr(index_char)][i].encode()
+        if accept_edit(cfg, check_present):
+            if cfg.mode == 0:
+                best.update(edit_type=2, indel=ins_bases, num_support=check_present)
+                return True, num_deletions
+            if check_present >= t_best_support:
+                if t_best_support:
+                    t_alt_indel = t_best_indel
+                    t_alt_support = t_best_support
+                t_best_type = 2
+                t_best_indel = ins_bases
+                t_best_support = check_present
+        if num_deletions <= cfg.max_deletions:
+            del_check = provider.del_trial(num_deletions)
+            del_support = del_check if accept_del(cfg, del_check) else 0
+            if del_support > 0:
+                deleted = provider.deleted_bases(num_deletions)
+                if cfg.mode == 0:
+                    best.update(edit_type=3, indel=deleted, num_support=del_support)
+                    return True, num_deletions + 1
+                if del_support >= t_best_support:
+                    if t_best_support:
+                        t_alt_indel = t_best_indel
+                        t_alt_support = t_best_support
+                    t_best_type = 3
+                    t_best_indel = deleted
+                    t_best_support = del_support
+            num_deletions += 1
+    if t_best_support > 0:
+        if (cfg.mode == 2 and t_best_support > best["num_support"]) or cfg.mode == 1:
+            best.update(
+                edit_type=t_best_type,
+                indel=t_best_indel,
+                num_support=t_best_support,
+                alt_indel=t_alt_indel,
+                altsupp1=t_alt_support,
+            )
+        return True, num_deletions
+    return False, num_deletions
+
+
 class _Editor:
     """Per-contig editing state machine (reference kmerizeAndCorrect)."""
 
@@ -436,26 +622,10 @@ class _Editor:
         return "".join(prev)
 
     # -- candidate trials -----------------------------------------------------
-    def _edit_accept(self, check_present: int) -> bool:
-        cfg = self.cfg
-        if not cfg.use_ratio:
-            return check_present >= cfg.k / cfg.edit_threshold
-        return check_present >= (cfg.k / cfg.jump) * cfg.edit_ratio
-
-    def _del_accept(self, check_present: int) -> bool:
-        cfg = self.cfg
-        if not cfg.use_ratio:
-            return check_present >= cfg.k / cfg.edit_threshold
-        return check_present >= (1 + cfg.k / cfg.jump) * cfg.edit_ratio
-
-    def _missing_accept(self, check_missing: int) -> bool:
-        cfg = self.cfg
-        if not cfg.use_ratio:
-            return check_missing >= cfg.k / cfg.missing_threshold
-        return check_missing >= (cfg.k / cfg.jump) * cfg.missing_ratio
-
     def try_deletion(self, draft_char, num_deletions, st, fh, rh, seq, new_seq):
-        """Reference ntedit.cpp:1157-1234; returns (support, deleted_bytes)."""
+        """Reference ntedit.cpp:1157-1234; returns (raw_check, deleted_bytes).
+
+        The accept rule (accept_del) is applied by the caller (run_trials)."""
         cfg = self.cfg
         tmp = dict(st)
         deleted = []
@@ -476,89 +646,73 @@ class _Editor:
                 if kk % cfg.jump == 0 and self._contains(self._mh(tfh, trh)):
                     check_present += 1
             kk += 1
-        if self._del_accept(check_present):
-            return check_present, bytes(deleted)
-        return 0, bytes(deleted)
+        return check_present, bytes(deleted)
 
-    def try_indels(self, draft_char, index_char, num_deletions, st, fh, rh, seq, new_seq, best):
-        """Reference ntedit.cpp:1237-1411.
-
-        best: dict with edit_type/indel/alt_indel/num_support/altsupp1.
-        Returns (found, num_deletions).
-        """
+    def try_insertion(self, draft_char, index_char, combo_i, st, fh, rh, seq, new_seq):
+        """One insertion-combo check (reference ntedit.cpp:1276-1331);
+        returns the raw check_present count."""
         cfg = self.cfg
-        t_best_support = 0
-        t_alt_support = 0
-        t_best_indel = b""
-        t_alt_indel = b""
-        t_best_type = 0
-        for i in range(NUM_TRIES[cfg.max_insertions]):
-            combo = MULTI_POSSIBLE_BASES[chr(index_char)][i].encode() + bytes([draft_char])
-            tmp = dict(st)
-            tfh = nt.ntf64_changelast(fh, draft_char, index_char)
-            trh = nt.ntr64_changelast(rh, cfg.k, draft_char, index_char)
-            check_present = 0
-            kk = 0
-            while kk < len(combo) - 1 and tmp["h"] < len(seq):
-                c_out = self.get_character(tmp["h"], new_seq[tmp["hn"]], seq)
-                tfh, trh, _ = nt.ntc64_roll(tfh, trh, cfg.k, c_out, combo[kk + 1])
-                tmp["h"], tmp["hn"] = self.increment(tmp["h"], tmp["hn"], new_seq)
+        combo = (
+            MULTI_POSSIBLE_BASES[chr(index_char)][combo_i].encode()
+            + bytes([draft_char])
+        )
+        tmp = dict(st)
+        tfh = nt.ntf64_changelast(fh, draft_char, index_char)
+        trh = nt.ntr64_changelast(rh, cfg.k, draft_char, index_char)
+        check_present = 0
+        kk = 0
+        while kk < len(combo) - 1 and tmp["h"] < len(seq):
+            c_out = self.get_character(tmp["h"], new_seq[tmp["hn"]], seq)
+            tfh, trh, _ = nt.ntc64_roll(tfh, trh, cfg.k, c_out, combo[kk + 1])
+            tmp["h"], tmp["hn"] = self.increment(tmp["h"], tmp["hn"], new_seq)
+            if kk % cfg.jump == 0 and self._contains(self._mh(tfh, trh)):
+                check_present += 1
+            kk += 1
+        while kk < cfg.k - 1 and tmp["h"] < len(seq):
+            ok, c_out, c_in = self.roll(tmp, seq, new_seq)
+            if ok:
+                tfh, trh, _ = nt.ntc64_roll(tfh, trh, cfg.k, c_out, c_in)
                 if kk % cfg.jump == 0 and self._contains(self._mh(tfh, trh)):
                     check_present += 1
-                kk += 1
-            while kk < cfg.k - 1 and tmp["h"] < len(seq):
-                ok, c_out, c_in = self.roll(tmp, seq, new_seq)
-                if ok:
-                    tfh, trh, _ = nt.ntc64_roll(tfh, trh, cfg.k, c_out, c_in)
-                    if kk % cfg.jump == 0 and self._contains(self._mh(tfh, trh)):
-                        check_present += 1
-                kk += 1
-            ins_bases = combo[:-1]
-            if self._edit_accept_ins(check_present):
-                if cfg.mode == 0:
-                    best.update(edit_type=2, indel=ins_bases, num_support=check_present)
-                    return True, num_deletions
-                if check_present >= t_best_support:
-                    if t_best_support:
-                        t_alt_indel = t_best_indel
-                        t_alt_support = t_best_support
-                    t_best_type = 2
-                    t_best_indel = ins_bases
-                    t_best_support = check_present
-            if num_deletions <= cfg.max_deletions:
-                del_support, deleted = self.try_deletion(
-                    draft_char, num_deletions, st, fh, rh, seq, new_seq
-                )
-                if del_support > 0:
-                    if cfg.mode == 0:
-                        best.update(edit_type=3, indel=deleted, num_support=del_support)
-                        return True, num_deletions + 1
-                    if del_support >= t_best_support:
-                        if t_best_support:
-                            t_alt_indel = t_best_indel
-                            t_alt_support = t_best_support
-                        t_best_type = 3
-                        t_best_indel = deleted
-                        t_best_support = del_support
-                num_deletions += 1
-        if t_best_support > 0:
-            if (cfg.mode == 2 and t_best_support > best["num_support"]) or cfg.mode == 1:
-                best.update(
-                    edit_type=t_best_type,
-                    indel=t_best_indel,
-                    num_support=t_best_support,
-                    alt_indel=t_alt_indel,
-                    altsupp1=t_alt_support,
-                )
-            return True, num_deletions
-        return False, num_deletions
+            kk += 1
+        return check_present
 
-    def _edit_accept_ins(self, check_present: int) -> bool:
-        # insertion accept rule (reference :1333-1337 — no 1+ term)
+    def sub_trial_scalar(self, ci, st, fh, rh, seq, new_seq):
+        """One substitution gate+check (reference ntedit.cpp:1558-1619);
+        returns (gate, raw check_present)."""
         cfg = self.cfg
-        if not cfg.use_ratio:
-            return check_present >= cfg.k / cfg.edit_threshold
-        return check_present >= (cfg.k / cfg.jump) * cfg.edit_ratio
+        k = cfg.k
+        n = len(seq)
+        draft_char = _upper(self.get_character(st["t"], new_seq[st["tn"]], seq))
+        sub_base = ord(cfg.bases_array[chr(draft_char)][ci])
+        tfh = nt.ntf64_changelast(fh, draft_char, sub_base)
+        trh = nt.ntr64_changelast(rh, k, draft_char, sub_base)
+        gate = self._contains(self._mh(tfh, trh))
+        if not (gate or cfg.mode == 2):
+            return gate, 0
+        tmp = dict(st)
+        t_node = new_seq[st["tn"]]
+        if t_node.node_type == 0:
+            seq[st["t"]] = sub_base
+        elif t_node.node_type == 1:
+            t_node.c = sub_base
+        check_present = 0
+        kk = 0
+        cfh, crh = tfh, trh
+        while kk < k and tmp["h"] < n and tmp["t"] < n:
+            ok, c_out, c_in = self.roll(tmp, seq, new_seq)
+            if not ok:
+                break
+            cfh, crh, _ = nt.ntc64_roll(cfh, crh, k, c_out, c_in)
+            if kk % cfg.jump == 0 and self._contains(self._mh(cfh, crh)):
+                check_present += 1
+            kk += 1
+        if t_node.node_type == 0:
+            seq[st["t"]] = draft_char
+        elif t_node.node_type == 1:
+            t_node.c = draft_char
+        return gate, check_present
+
 
     # -- main per-contig loop -------------------------------------------------
     def correct(self, seq_in: bytes):
@@ -574,13 +728,53 @@ class _Editor:
         fh = rh = 0
         char_in = 0
         if st["h"] + k - 1 < n:
-            fh, rh, _ = nt.ntc64_base(np.frombuffer(bytes(seq[st["h"] : st["h"] + k]), np.uint8), k)
+            fh, rh, _ = nt.ntc64_base(
+                np.frombuffer(bytes(seq[st["h"] : st["h"] + k]), np.uint8), k
+            )
             char_in = seq[st["t"]]
+        self.dirty_end = -1
+        self.scan_from(st, fh, rh, char_in, seq, new_seq, subs_record)
+        return self._render(seq, new_seq), subs_record
 
-        continue_edit = True
-        while continue_edit:
+    def scan_from(self, st, fh, rh, char_in, seq, new_seq, subs_record,
+                  exit_check=None, start_with_roll=False):
+        """The reference outer editing loop (ntedit.cpp:1461-1760), resumable.
+
+        Runs [detection -> trials -> edit -> roll] iterations from the given
+        state.  With exit_check set, the loop yields control back ("clean")
+        when exit_check(st) is true at the top of an iteration — used by the
+        TPU engine to bound dirty-zone segments.  Returns
+        (status, st, fh, rh, char_in) with status "end" (contig exhausted)
+        or "clean" (exit_check fired).
+        """
+        cfg = self.cfg
+        k = cfg.k
+        n = len(seq)
+        first = not start_with_roll
+        while True:
+            if not first:
+                # roll and skip over non-ATGC k-mers (reference :1739-1759)
+                target = -1
+                alive = True
+                while True:
+                    ok, c_out, c_in = self.roll(st, seq, new_seq)
+                    if ok:
+                        if not is_accepted(_upper(c_in)):
+                            target = st["t"] + k
+                        fh, rh, _ = nt.ntc64_roll(fh, rh, k, c_out, c_in)
+                        char_in = c_in
+                    else:
+                        alive = False
+                        break
+                    if not (target >= 0 and st["t"] != target):
+                        break
+                if not alive:
+                    return "end", st, fh, rh, char_in
+            first = False
             if st["h"] + k - 1 >= n:
-                break
+                return "end", st, fh, rh, char_in
+            if exit_check is not None and exit_check(st):
+                return "clean", st, fh, rh, char_in
             hv = self._mh(fh, rh)
             if cfg.snv or not self._contains_primary(hv):
                 tmp = dict(st)
@@ -607,121 +801,15 @@ class _Editor:
                         break
                     kk += 1
 
-                if cfg.snv or (not do_not_fix and self._missing_accept(check_missing)):
-                    best = {
-                        "edit_type": 0,
-                        "indel": b"",
-                        "alt_indel": b"",
-                        "sub_base": 0,
-                        "num_support": 0,
-                        "altbase1": 0, "altsupp1": 0,
-                        "altbase2": 0, "altsupp2": 0,
-                        "altbase3": 0, "altsupp3": 0,
-                    }
-                    num_deletions = 1
-                    if cfg.snv and self._edit_accept(check_there):
-                        best["sub_base"] = draft_char
-                        best["num_support"] = check_there
-
-                    for sub_base_s in self.cfg.bases_array.get(chr(draft_char), ""):
-                        sub_base = ord(sub_base_s)
-                        tfh = nt.ntf64_changelast(fh, draft_char, sub_base)
-                        trh = nt.ntr64_changelast(rh, k, draft_char, sub_base)
-                        if self._contains(self._mh(tfh, trh)) or cfg.mode == 2:
-                            tmp = dict(st)
-                            t_node = new_seq[st["tn"]]
-                            if t_node.node_type == 0:
-                                seq[st["t"]] = sub_base
-                            elif t_node.node_type == 1:
-                                t_node.c = sub_base
-                            check_present = 0
-                            kk = 0
-                            cfh, crh = tfh, trh
-                            while kk < k and tmp["h"] < n and tmp["t"] < n:
-                                ok, c_out, c_in = self.roll(tmp, seq, new_seq)
-                                if not ok:
-                                    break
-                                cfh, crh, _ = nt.ntc64_roll(cfh, crh, k, c_out, c_in)
-                                if kk % cfg.jump == 0 and self._contains(self._mh(cfh, crh)):
-                                    check_present += 1
-                                kk += 1
-                            # revert
-                            if t_node.node_type == 0:
-                                seq[st["t"]] = draft_char
-                            elif t_node.node_type == 1:
-                                t_node.c = draft_char
-                            if self._edit_accept(check_present):
-                                if check_present >= best["num_support"]:
-                                    if best["altsupp2"]:
-                                        best["altbase3"] = best["altbase2"]
-                                        best["altsupp3"] = best["altsupp2"]
-                                    if best["altsupp1"]:
-                                        best["altbase2"] = best["altbase1"]
-                                        best["altsupp2"] = best["altsupp1"]
-                                    if best["num_support"]:
-                                        best["altsupp1"] = best["num_support"]
-                                        best["altbase1"] = best["sub_base"]
-                                    best["edit_type"] = 1
-                                    best["sub_base"] = sub_base
-                                    best["num_support"] = check_present
-                                else:
-                                    if not best["altsupp1"]:
-                                        best["altbase1"] = sub_base
-                                        best["altsupp1"] = check_present
-                                    elif not best["altsupp2"]:
-                                        if check_present < best["altsupp1"]:
-                                            best["altbase2"] = sub_base
-                                            best["altsupp2"] = check_present
-                                        else:
-                                            best["altbase2"] = best["altbase1"]
-                                            best["altsupp2"] = best["altsupp1"]
-                                            best["altbase1"] = sub_base
-                                            best["altsupp1"] = check_present
-                                    elif not best["altsupp3"]:
-                                        if check_present < best["altsupp2"]:
-                                            best["altbase3"] = sub_base
-                                            best["altsupp3"] = check_present
-                                        elif check_present < best["altsupp1"]:
-                                            best["altbase3"] = best["altbase2"]
-                                            best["altsupp3"] = best["altsupp2"]
-                                            best["altbase2"] = sub_base
-                                            best["altsupp2"] = check_present
-                                        else:
-                                            best["altbase3"] = best["altbase2"]
-                                            best["altsupp3"] = best["altsupp2"]
-                                            best["altbase2"] = best["altbase1"]
-                                            best["altsupp2"] = best["altsupp1"]
-                                            best["altbase1"] = sub_base
-                                            best["altsupp1"] = check_present
-                                if cfg.mode in (0, 1):
-                                    continue
-                            if cfg.mode == 2 or best["edit_type"] != 1:
-                                found, num_deletions = self.try_indels(
-                                    draft_char, sub_base, num_deletions,
-                                    st, fh, rh, seq, new_seq, best,
-                                )
-                                if found and cfg.mode in (0, 1):
-                                    break
-
-                    fh, rh, char_in = self._make_edit(
-                        draft_char, best, subs_record, st, fh, rh, seq, new_seq, char_in
+                if cfg.snv or (not do_not_fix and accept_missing(cfg, check_missing)):
+                    provider = _ScalarProvider(
+                        self, draft_char, st, fh, rh, seq, new_seq
                     )
-            # roll and skip over non-ATGC containing k-mers (reference :1739-1759)
-            target = -1
-            while True:
-                ok, c_out, c_in = self.roll(st, seq, new_seq)
-                if ok:
-                    if not is_accepted(_upper(c_in)):
-                        target = st["t"] + k
-                    fh, rh, _ = nt.ntc64_roll(fh, rh, k, c_out, c_in)
-                    char_in = c_in
-                else:
-                    continue_edit = False
-                    break
-                if not (target >= 0 and st["t"] != target):
-                    break
-
-        return self._render(seq, new_seq), subs_record
+                    best = run_trials(cfg, draft_char, provider, check_there)
+                    fh, rh, char_in = self._make_edit(
+                        draft_char, best, subs_record, st, fh, rh, seq, new_seq,
+                        char_in,
+                    )
 
     # -- edit application -----------------------------------------------------
     def _make_edit(self, draft_char, best, subs_record, st, fh, rh, seq, new_seq, char_in):
@@ -803,6 +891,10 @@ class _Editor:
                 fh = nt.ntf64_changelast(fh, draft_char, _lower(draft_char))
                 rh = nt.ntr64_changelast(rh, k, draft_char, _lower(draft_char))
                 char_in = _lower(draft_char)
+        if et != 0 or cfg.mask:
+            # watermark of the highest draft position whose content the edit
+            # may have touched (used by the TPU engine's segment-exit rule)
+            self.dirty_end = max(getattr(self, "dirty_end", -1), st["t"] + 1)
         return fh, rh, char_in
 
     @staticmethod
@@ -832,6 +924,46 @@ class _Editor:
             elif node.node_type == 1:
                 out.append(node.c)
         return bytes(out)
+
+
+class _ScalarProvider:
+    """Trial provider backed by the editor's live scalar probes."""
+
+    def __init__(self, ed: "_Editor", draft_char, st, fh, rh, seq, new_seq):
+        self.ed = ed
+        self.draft_char = draft_char
+        self.st = st
+        self.fh = fh
+        self.rh = rh
+        self.seq = seq
+        self.new_seq = new_seq
+        self._del_cache: dict[int, tuple[int, bytes]] = {}
+
+    def sub_trial(self, ci):
+        return self.ed.sub_trial_scalar(
+            ci, self.st, self.fh, self.rh, self.seq, self.new_seq
+        )
+
+    def ins_trial(self, ci, i):
+        cfg = self.ed.cfg
+        index_char = ord(cfg.bases_array[chr(self.draft_char)][ci])
+        return self.ed.try_insertion(
+            self.draft_char, index_char, i, self.st, self.fh, self.rh,
+            self.seq, self.new_seq,
+        )
+
+    def _del(self, d):
+        if d not in self._del_cache:
+            self._del_cache[d] = self.ed.try_deletion(
+                self.draft_char, d, self.st, self.fh, self.rh, self.seq, self.new_seq
+            )
+        return self._del_cache[d]
+
+    def del_trial(self, d):
+        return self._del(d)[0]
+
+    def deleted_bases(self, d):
+        return self._del(d)[1]
 
 
 def polish_contig(seq: bytes, bloom, cfg: Config, bloomrep=None):

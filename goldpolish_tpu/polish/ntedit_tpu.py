@@ -1,0 +1,303 @@
+"""Two-phase batched ntEdit engine (the TPU-native editor).
+
+The reference edits each contig with a sequential rolling scan — one Bloom
+probe per position, branchy candidate trials at missing sites
+(reference: subprojects/ntedit/ntedit.cpp:1414-1771).  On TPU that shape is
+hopeless; this engine restructures the work without changing the result:
+
+  PHASE A (device, dense, batched):
+    * canonical multi-hash of *every* draft window (closed-form ntHash),
+    * Bloom probes of every window -> present[],
+    * detection masks (visited/eligible/check_missing) from present[],
+    * candidate supports for every "hot site" via ops.siteeval — thousands
+      of substitution/insertion/deletion probe-chains evaluated at once,
+      tiered (short combos first, escalate the rare unresolved sites).
+
+  PHASE B (host, sparse, exact):
+    * a walker that *fast-forwards* between hot sites (clean regions are
+      provably edit-free, so the sequential scan state can jump), replays
+      the reference decision loop from the precomputed support tables
+      (polish.ntedit_oracle.run_trials — the same code the oracle uses),
+      applies edits through the oracle's rope machinery, and runs the
+      oracle scan verbatim inside each post-edit "dirty zone" (the <=k
+      windows whose content an edit changed) before returning to fast mode.
+
+  The output is byte-identical to the oracle editor (differentially tested),
+  hence to the reference algorithm.
+
+Correctness argument for fast-forwarding: between consecutive hot sites the
+scan makes no edit — every visited window either probes present (no
+detection), is detection-ineligible near the end/non-ACGT (no trials), or
+fails the check_missing gate (no trials).  None of those mutate sequence,
+rope, or any state the future depends on, and the rolling hash state at a
+pure-draft window is a pure function of the draft bytes — so the walker may
+jump directly to the next hot window and reseed the hash.  After an edit,
+state diverges from the draft only inside the dirty zone (windows whose span
+overlaps modified content); the walker delegates those to the exact scalar
+scan and resumes jumping once the window is past `dirty_end` and literal-free.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ..ops import bloom as bloom_mod
+from ..ops import nthash as nt
+from ..ops import siteeval
+from . import ntedit_oracle as orc
+from .ntedit_oracle import (
+    Config,
+    NeedMoreCombos,
+    Node,
+    _upper,
+    accept_missing,
+    find_first_accepted_kmer,
+    run_trials,
+)
+
+TIER0_COMBOS = 21  # insertion combos of length <= 3; escalate to 341 on demand
+
+_ACCEPTED_LUT = np.zeros(256, bool)
+for _c in b"ATGCRYSWKMBDHV":
+    _ACCEPTED_LUT[_c] = True
+    _ACCEPTED_LUT[_c + 32] = True
+
+
+class _TableProvider:
+    """Trial provider reading precomputed site supports (ops.siteeval)."""
+
+    def __init__(self, sup: siteeval.SiteSupports, si: int, draft: bytes, p: int,
+                 mode2: bool = False):
+        self.sup = sup
+        self.si = si
+        self.draft = draft
+        self.p = p  # tail position of the site window
+        self.mode2 = mode2
+        self.applied_sub = False
+
+    applied_sub = False  # a gated sub trial ran (apply+revert side effect)
+
+    def sub_trial(self, ci):
+        gate = bool(self.sup.gate[self.si, ci])
+        if gate or self.mode2:
+            # the reference's revert writes back toupper(draft_char)
+            # (ntedit.cpp:1610), permanently uppercasing the position
+            self.applied_sub = True
+        return gate, int(self.sup.sub_support[self.si, ci])
+
+    def ins_trial(self, ci, i):
+        if i >= self.sup.n_combos:
+            raise NeedMoreCombos
+        return int(self.sup.ins_support[self.si, ci, i])
+
+    def del_trial(self, d):
+        return int(self.sup.del_support[self.si, d - 1])
+
+    def deleted_bases(self, d):
+        # clean mode: the d bases from the tail position are pure draft
+        return bytes(self.draft[self.p : self.p + d])
+
+
+@dataclass
+class ScanMasks:
+    present: np.ndarray
+    hot: np.ndarray
+    w0: int
+
+
+class NtEditTPU:
+    """Batched two-phase editor.  backend: "jax" (device) or "numpy"."""
+
+    def __init__(self, cfg: Config, bf, backend: str = "numpy"):
+        if cfg.snv:
+            raise NotImplementedError("snv mode: use the oracle editor")
+        self.cfg = cfg
+        self.bf = bf
+        self.backend = backend
+        self.tables = siteeval.make_tables(
+            cfg.k, cfg.jump, cfg.max_insertions, cfg.max_deletions
+        )
+        self._jax = None
+        if backend == "jax":
+            from ..ops import bloom_jax, siteeval_jax
+
+            self._jax = (bloom_jax, siteeval_jax)
+            self._words = bloom_jax.to_device_words(bf)
+
+    # -- phase A --------------------------------------------------------------
+    def _probe_all(self, codes: np.ndarray) -> np.ndarray:
+        k, h = self.cfg.k, self.cfg.h
+        if self._jax is not None:
+            bloom_jax, _ = self._jax
+            import jax.numpy as jnp
+
+            n = len(codes)
+            bucket = max(256, 1 << (n - 1).bit_length())
+            padded = np.zeros(bucket, np.uint8)
+            padded[:n] = codes
+            pres = bloom_jax.probe_kmers_jit(
+                self._words, int(self.bf.bits), h, k, jnp.asarray(padded)
+            )
+            return np.asarray(pres)[: n - k + 1]
+        try:
+            from .. import native
+
+            hashes = native.nthash_all(codes, k, h)
+            return native.bf_contains(self.bf, hashes)
+        except Exception:  # noqa: BLE001
+            base = nt.canonical_hashes(codes, k)
+            return self.bf.contains(nt.multi_hashes(base, k, h))
+
+    def _eval_sites(self, codes: np.ndarray, sites: np.ndarray, n_combos: int):
+        if self._jax is not None and len(sites) > 16:
+            _, siteeval_jax = self._jax
+            return siteeval_jax.eval_sites_jax(
+                codes, sites, self._words, int(self.bf.bits), self.tables,
+                self.cfg.h, n_combos,
+            )
+        return siteeval.eval_sites_np(
+            codes, sites, self.bf, self.tables, self.cfg.h, n_combos
+        )
+
+    def _masks(self, codes: np.ndarray) -> ScanMasks:
+        cfg = self.cfg
+        k, n = cfg.k, len(codes)
+        present = self._probe_all(codes)
+        nw = n - k + 1
+        bad = ~_ACCEPTED_LUT[codes]
+        badc = np.concatenate(([0], np.cumsum(bad)))
+        window_clean = (badc[k:] - badc[:-k]) == 0  # [nw]
+        w0 = find_first_accepted_kmer(0, bytearray(codes.tobytes()), k)
+        visited = window_clean.copy()
+        visited[: min(w0, nw)] = False
+        # eligible: w <= n-2k and no bad char in [w+k, w+2k-1]
+        eligible = np.zeros(nw, bool)
+        lim = n - 2 * k
+        if lim >= 0:
+            eligible[: lim + 1] = window_clean[k : k + lim + 1]
+        miss = ~present
+        cm = np.zeros(nw, np.int32)
+        for kk in range(0, k, cfg.jump):
+            idx = np.arange(nw) + kk + 1
+            valid = idx < nw
+            cm[valid] += miss[idx[valid]]
+        cmf = cm.astype(np.float32)
+        if cfg.use_ratio:
+            thr = (np.float32(k) / np.float32(cfg.jump)) * np.float32(cfg.missing_ratio)
+        else:
+            thr = np.float32(k) / np.float32(cfg.missing_threshold)
+        hot = visited & miss & eligible & (cmf >= thr)
+        return ScanMasks(present=present, hot=hot, w0=w0)
+
+    # -- phase B --------------------------------------------------------------
+    def polish_contig(self, seq_in: bytes):
+        """Polish one contig; returns (edited_bytes, subs_records, editor)."""
+        cfg = self.cfg
+        k = cfg.k
+        n = len(seq_in)
+        ed = orc._Editor(cfg, self.bf)
+        if n < cfg.min_contig_len or n < k:
+            return bytes(seq_in), [], ed
+        codes = np.frombuffer(seq_in, np.uint8)
+        masks = self._masks(codes)
+        hot_list = np.nonzero(masks.hot)[0]
+
+        seq = bytearray(seq_in)
+        new_seq = [Node(0, 0, n - 1, 0, 0)]
+        recs: list[dict] = []
+        ed.dirty_end = -1
+
+        if masks.w0 + k - 1 >= n:
+            return bytes(seq_in), [], ed
+        if len(hot_list) == 0:
+            return bytes(seq_in), [], ed
+
+        # Lazy chunked tier-0 evaluation: clustered errors produce many hot
+        # windows that the dirty-zone segments consume without ever needing
+        # their tables, and eager evaluation of everything would blow memory
+        # on error-dense contigs.  Chunks of `chunk` sites are evaluated on
+        # first touch.
+        chunk = 256
+        chunks: dict[int, siteeval.SiteSupports] = {}
+
+        def sup_for(si: int) -> tuple[siteeval.SiteSupports, int]:
+            ci = si // chunk
+            if ci not in chunks:
+                chunks[ci] = self._eval_sites(
+                    codes, hot_list[ci * chunk : (ci + 1) * chunk], TIER0_COMBOS
+                )
+            return chunks[ci], si - ci * chunk
+
+        full_sup_cache: dict[int, siteeval.SiteSupports] = {}
+
+        cur_w = masks.w0
+        trailing = 0  # rope index of the trailing pure-draft position node
+        hot_pos = 0
+        while True:
+            # FAST mode: jump to the next hot site at/after cur_w
+            while hot_pos < len(hot_list) and hot_list[hot_pos] < cur_w:
+                hot_pos += 1
+            if hot_pos >= len(hot_list):
+                break
+            si = hot_pos
+            w_h = int(hot_list[si])
+            hot_pos += 1
+            if w_h + k - 1 >= n:
+                break
+            # reseed the exact scan state at this pure-draft window
+            st = {"h": w_h, "t": w_h + k - 1, "hn": trailing, "tn": trailing}
+            fh, rh, _ = nt.ntc64_base(
+                np.frombuffer(bytes(seq[w_h : w_h + k]), np.uint8), k
+            )
+            char_in = seq[st["t"]]
+            draft_char = _upper(char_in)
+            mode2 = cfg.mode == 2
+            sup, local_si = sup_for(si)
+            provider = _TableProvider(sup, local_si, seq, st["t"], mode2)
+            try:
+                best = run_trials(cfg, draft_char, provider, 0)
+            except NeedMoreCombos:
+                if w_h not in full_sup_cache:
+                    full_sup_cache[w_h] = self._eval_sites(
+                        codes, np.array([w_h], np.int64), self.tables.n_combos
+                    )
+                provider = _TableProvider(full_sup_cache[w_h], 0, seq, st["t"], mode2)
+                best = run_trials(cfg, draft_char, provider, 0)
+            if provider.applied_sub and seq[st["t"]] != draft_char:
+                # reference side effect: the sub-trial revert writes the
+                # *uppercased* draft char back (ntedit.cpp:1610)
+                seq[st["t"]] = draft_char
+                char_in = draft_char
+            if best["edit_type"] == 0 and not cfg.mask:
+                cur_w = w_h + 1
+                continue
+            fh, rh, char_in = ed._make_edit(
+                draft_char, best, recs, st, fh, rh, seq, new_seq, char_in
+            )
+            # SEGMENT mode: exact scalar scan through the dirty zone
+            def _exit_clean(s):
+                node = new_seq[s["hn"]]
+                return (
+                    s["h"] > ed.dirty_end
+                    and s["hn"] == s["tn"]
+                    and node.node_type == 0
+                    and node.e_pos == n - 1
+                )
+
+            status, st, fh, rh, char_in = ed.scan_from(
+                st, fh, rh, char_in, seq, new_seq, recs,
+                exit_check=_exit_clean, start_with_roll=True,
+            )
+            if status == "end":
+                break
+            cur_w = st["h"]
+            trailing = st["hn"]
+
+        return ed._render(seq, new_seq), recs, ed
+
+
+def polish_contig_tpu(seq: bytes, bf, cfg: Config, backend: str = "numpy"):
+    """One-shot convenience wrapper."""
+    return NtEditTPU(cfg, bf, backend=backend).polish_contig(seq)

@@ -84,12 +84,12 @@ def test_device_probe_matches_host():
     hashes = _hashes_for(seq, k, h)
     bf.insert(hashes[::2])  # half in, half out
     words = jnp_bloom.to_device_words(bf)
-    got = np.asarray(jnp_bloom.probe_words(words, int(bf.bits), jnp.asarray(hashes)))
+    got = np.asarray(jnp_bloom.probe_words_jit(words, int(bf.bits), jnp.asarray(hashes)))
     want = bf.contains(hashes)
     assert np.array_equal(got, want)
     # full-pipeline probe from codes
     got2 = np.asarray(
-        jnp_bloom.probe_kmers(words, int(bf.bits), h, k, jnp.asarray(nt.encode(seq)))
+        jnp_bloom.probe_kmers_jit(words, int(bf.bits), h, k, jnp.asarray(nt.encode(seq)))
     )
     assert np.array_equal(got2, want)
 
@@ -104,5 +104,5 @@ def test_device_build_matches_host():
     hashes = _hashes_for(seq, k, h)
     host = bloom.BloomFilter(bloom.DEFAULT_BF_BYTES, h, k)
     host.insert(hashes)
-    dev_words = np.asarray(jnp_bloom.build_words(int(host.bits), jnp.asarray(hashes)))
+    dev_words = np.asarray(jnp_bloom.build_words_jit(int(host.bits), jnp.asarray(hashes)))
     assert np.array_equal(dev_words, host.words_u32())

@@ -1,0 +1,143 @@
+"""End-to-end bulk pipeline test on synthetic data, plus engine unit tests."""
+
+import asyncio
+import os
+
+import numpy as np
+import pytest
+
+from goldpolish_tpu.config import PipelineConfig
+from goldpolish_tpu.io import fasta
+from goldpolish_tpu.pipeline import bulk, engine
+
+
+def _write_synthetic(tmp_path, n_contigs=3, contig_len=3000, coverage=12,
+                     err_every=331, seed=0):
+    rng = np.random.default_rng(seed)
+    truths = []
+    drafts = []
+    for c in range(n_contigs):
+        t = "".join(rng.choice(list("ACGT")) for _ in range(contig_len))
+        truths.append(t)
+        d = list(t)
+        for p in range(100, contig_len - 100, err_every):
+            kind = p % 3
+            if kind == 0:
+                d[p] = "ACGT"[("ACGT".index(d[p]) + 1) % 4]
+            elif kind == 1:
+                d[p] = ""
+            else:
+                d[p] = d[p] + "T"
+        drafts.append("".join(d))
+    draft_path = str(tmp_path / "draft.fa")
+    fasta.write_fasta(
+        draft_path, [fasta.SeqRecord(f"ctg{c}", "", drafts[c]) for c in range(n_contigs)]
+    )
+    # reads: fragments of truth with high phred
+    reads_path = str(tmp_path / "reads.fq")
+    paf_path = str(tmp_path / "map.paf")
+    with open(reads_path, "w") as rf, open(paf_path, "w") as pf:
+        rn = 0
+        frag = 1500
+        step = frag // 2
+        for c, t in enumerate(truths):
+            # tiled fragments at every half-overlap offset x coverage passes
+            for rep in range(coverage):
+                for s in range(0, contig_len, step):
+                    e = min(contig_len, s + frag)
+                    if e - s < 200:
+                        continue
+                    rf.write(f"@r{rn}\n{t[s:e]}\n+\n{'I' * (e - s)}\n")
+                    pf.write(
+                        f"r{rn}\t{e-s}\t0\t{e-s}\t+\tctg{c}\t{contig_len}\t{s}\t"
+                        f"{e}\t{e-s}\t{e-s}\t60\n"
+                    )
+                    rn += 1
+    return draft_path, reads_path, paf_path, truths
+
+
+def test_bulk_pipeline_end_to_end(tmp_path):
+    draft, reads, paf, truths = _write_synthetic(tmp_path)
+    out = str(tmp_path / "polished.fa")
+    cfg = PipelineConfig(
+        seqs_to_polish=draft, polishing_seqs=reads, output_seqs=out,
+        k_values=[32, 28], batch_size=2, mappings_path=paf,
+        workspace=str(tmp_path), max_concurrent_batches=2,
+    )
+    totals = bulk.run_bulk(cfg)
+    assert totals["contigs"] == 3
+    recs = list(fasta.read_seqs(out))
+    assert [r.id for r in recs] == ["ctg0", "ctg1", "ctg2"]  # ordered output
+    # all errors corrected
+    for r, t in zip(recs, truths):
+        assert r.seq.rstrip("Nn") == t.strip("N"), f"{r.id} not recovered"
+
+
+def test_bulk_pipeline_checkpoint_resume(tmp_path):
+    draft, reads, paf, truths = _write_synthetic(tmp_path, n_contigs=2)
+    out = str(tmp_path / "polished.fa")
+    ckpt = str(tmp_path / "manifest.jsonl")
+    cfg = PipelineConfig(
+        seqs_to_polish=draft, polishing_seqs=reads, output_seqs=out,
+        k_values=[32], batch_size=1, mappings_path=paf,
+        workspace=str(tmp_path), checkpoint=ckpt, run_sealer=False,
+    )
+    bulk.run_bulk(cfg)
+    assert os.path.exists(ckpt)
+    lines = open(ckpt).read().strip().splitlines()
+    assert len(lines) == 2  # both batches recorded
+
+
+def test_make_batches_by_count():
+    recs = [("a", "X" * 10), ("b", "X" * 10), ("c", "X" * 10)]
+    batches = list(engine.make_batches(recs, 2))
+    assert [len(b.records) for b in batches] == [2, 1]
+    assert [b.index for b in batches] == [0, 1]
+
+
+def test_make_batches_by_bases():
+    recs = [("a", "X" * 100), ("b", "X" * 900), ("c", "X" * 10)]
+    batches = list(engine.make_batches(recs, 10, max_batch_bases=500))
+    # 'b' exceeds the cap alone, so every record lands in its own batch
+    assert [len(b.records) for b in batches] == [1, 1, 1]
+
+
+def test_ordered_writer():
+    seen = []
+    w = engine.OrderedWriter(seen.append)
+    w.push(2, "c")
+    w.push(0, "a")
+    assert seen == ["a"]
+    w.push(1, "b")
+    assert seen == ["a", "b", "c"]
+
+
+def test_run_pipeline_propagates_errors():
+    async def worker(batch):
+        if batch.index == 1:
+            raise ValueError("boom")
+        return batch.index
+
+    async def go():
+        batches = [engine.Batch(i, []) for i in range(3)]
+        with pytest.raises(ValueError):
+            await engine.run_pipeline(batches, worker, lambda r: None)
+
+    asyncio.run(go())
+
+
+def test_run_pipeline_ordering_under_concurrency():
+    import random
+
+    async def worker(batch):
+        await asyncio.sleep(random.random() * 0.02)
+        return batch.index
+
+    out = []
+
+    async def go():
+        batches = [engine.Batch(i, []) for i in range(10)]
+        await engine.run_pipeline(batches, worker, out.append, max_concurrent=5)
+
+    asyncio.run(go())
+    assert out == list(range(10))

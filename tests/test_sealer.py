@@ -1,0 +1,146 @@
+"""Sealer gap-fill + Konnector + NW consensus functional tests."""
+
+import numpy as np
+import pytest
+
+from goldpolish_tpu.fill import konnector, nw, sealer
+from goldpolish_tpu.ops import bloom, nthash as nt
+
+K, H = 32, 4
+
+
+def _bf_from(truth: str, k=K, bytes_size=1 << 17):
+    bf = bloom.BloomFilter(bytes_size, H, k)
+    base = nt.canonical_hashes(nt.encode(truth), k)
+    bf.insert(nt.multi_hashes(base, k, H))
+    return bf
+
+
+def _genome(rng, n):
+    return "".join(rng.choice(list("ACGT")) for _ in range(n))
+
+
+# --- NW alignment ------------------------------------------------------------
+def test_nw_identical():
+    m, aln = nw.align_global("ACGTACGT", "ACGTACGT")
+    assert m == 8 and aln["match_align"] == "ACGTACGT"
+
+
+def test_nw_mismatch_makes_iupac_consensus():
+    m, aln = nw.align_global("ACGA", "ACGT")
+    # A|T -> W (ambiguityOr), scored as mismatch
+    assert aln["match_align"] == "ACGW"
+    assert m == 3
+
+
+def test_nw_gap_is_lowercase():
+    m, aln = nw.align_global("ACGTTT", "ACTTT")
+    assert aln["match_align"].count("g") + aln["match_align"].count("c") >= 1
+    assert len(aln["query_align"]) == len(aln["target_align"])
+
+
+def test_nw_multi_consensus():
+    matches, size, cons = nw.align_multi(["ACGTACGT", "ACGAACGT", "ACGTACGT"])
+    assert size >= 8
+    assert matches == 0  # reference quirk: min-from-zero for 3+ seqs
+
+
+# --- Konnector primitives ----------------------------------------------------
+def test_get_start_kmer_pos_prefers_gap_side():
+    rng = np.random.default_rng(0)
+    truth = _genome(rng, 300)
+    bf = _bf_from(truth)
+    dbg = konnector.DBG(bf, K)
+    flank = truth[100:200]  # fully present
+    pos = konnector.get_start_kmer_pos(dbg, flank, 3)
+    # scanning right-to-left, the 3rd consecutive hit is at len-k-2
+    assert pos == len(flank) - K - 2
+
+
+def test_get_start_kmer_pos_no_match():
+    rng = np.random.default_rng(1)
+    bf = bloom.BloomFilter(1 << 14, H, K)  # empty
+    dbg = konnector.DBG(bf, K)
+    assert konnector.get_start_kmer_pos(dbg, _genome(rng, 100), 3) == konnector.NO_MATCH
+
+
+def test_connect_pairs_bridges_gap():
+    rng = np.random.default_rng(2)
+    truth = _genome(rng, 500)
+    bf = _bf_from(truth)
+    dbg = konnector.DBG(bf, K)
+    # flanks around a 50bp "gap" at [200, 250)
+    left = truth[140:200]
+    right_rc = konnector.revcomp(truth[250:310])
+    res = konnector.connect_pairs(
+        dbg, left, right_rc,
+        konnector.ConnectPairsParams(
+            max_merged_seq_len=800 + 2 * 32, max_paths=10,
+            max_branches=1000, max_cost=100000,
+        ),
+    )
+    assert res.path_result == "FOUND_PATH", res.path_result
+    merged = res.merged_seqs[0] if len(res.merged_seqs) == 1 else res.consensus
+    # the merged sequence must reconstruct the truth across the gap
+    assert merged.upper() in truth
+
+
+# --- Sealer end-to-end -------------------------------------------------------
+def test_find_flanks_lower_mode():
+    cfg = sealer.SealerConfig(flank_length=10)
+    seq = "ACGTACGTACGT" + "acgtn" * 4 + "TTTTGGGGCCCC"
+    fl = sealer.find_flanks("c1", seq, cfg)
+    assert len(fl) == 1
+    left, right, gap = fl[0]
+    assert gap.gap_start == 12 and gap.gap_size == 20
+    assert left == "ACGTACGTAC"[-10:].upper() or len(left) == 10
+    assert len(right) == 10
+
+
+def test_find_flanks_trailing_gap_skipped():
+    cfg = sealer.SealerConfig(flank_length=5)
+    fl = sealer.find_flanks("c1", "ACGTACGT" + "nnnn", cfg)
+    assert fl == []
+
+
+def test_seal_records_fills_masked_gap():
+    rng = np.random.default_rng(3)
+    truth = _genome(rng, 1200)
+    ks = [32, 28]
+    bfs = {k: _bf_from(truth, k=k) for k in ks}
+    # draft with the middle soft-masked (as ntEdit -a1 would produce)
+    draft = truth[:500] + truth[500:560].lower() + truth[560:]
+    cfg = sealer.SealerConfig(k_values=ks, flank_length=32, verbose=False)
+    out, stats = sealer.seal_records([("ctg1 c", draft)], bfs, cfg)
+    assert stats["gaps_found"] == 1
+    assert stats["gaps_closed"] >= 1
+    header, sealed = out[0]
+    assert header == "ctg1 c"
+    assert sealed.upper() == truth  # gap restored
+    # the filled region is uppercase (flank overlay + path)
+    assert sealed[500:560].upper() == truth[500:560]
+
+
+def test_seal_records_unclosable_gap_left_alone():
+    rng = np.random.default_rng(4)
+    truth = _genome(rng, 600)
+    other = _genome(rng, 600)
+    bfs = {32: _bf_from(other)}  # BF from unrelated genome
+    draft = truth[:300] + truth[300:330].lower() + truth[330:]
+    cfg = sealer.SealerConfig(k_values=[32], flank_length=32)
+    out, stats = sealer.seal_records([("c1", draft)], bfs, cfg)
+    assert stats["gaps_closed"] == 0
+    assert out[0][1] == draft
+    assert sum(stats[32].values()) >= 1
+
+
+def test_seal_n_gap_plain_mode():
+    """Hard N gaps sealed in --lower mode too (N is a gap char)."""
+    rng = np.random.default_rng(5)
+    truth = _genome(rng, 800)
+    bfs = {32: _bf_from(truth)}
+    draft = truth[:400] + "N" * 30 + truth[430:]
+    cfg = sealer.SealerConfig(k_values=[32], flank_length=32)
+    out, stats = sealer.seal_records([("c1", draft)], bfs, cfg)
+    assert stats["gaps_closed"] == 1
+    assert out[0][1].upper() == truth
