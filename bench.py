@@ -1,0 +1,113 @@
+"""Headline benchmark: polished bases/sec/chip through the ntEdit engine.
+
+Scenario (mirrors the reference's hot path on its bundled test shape):
+a synthetic draft with ~0.25% mixed errors is polished against a Bloom
+filter built from simulated reads of the truth genome — the ntEdit
+detect+fix scan that dominates GoldPolish runtime.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+vs_baseline: the reference repo publishes no numbers (BASELINE.md) and its
+CPU binaries need btllib (absent here), so the baseline is a documented
+estimate of the 48-thread CPU reference: ntEdit-class polishing sustains
+roughly 2 Mbp/s on a 48-core node (3 Gbp human draft in ~25 min for the
+multi-k chain).  vs_baseline = measured / 2.0e6.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np  # noqa: E402
+
+BASELINE_CPU_BASES_PER_SEC = 2.0e6
+K, H = 32, 4
+
+
+def build_scenario(n_bases: int, seed: int = 0):
+    from goldpolish_tpu import native
+    from goldpolish_tpu.ops import bloom, nthash as nt
+
+    rng = np.random.default_rng(seed)
+    truth = np.frombuffer(b"ACGT", np.uint8)[
+        rng.integers(0, 4, n_bases)
+    ].tobytes()
+
+    bf = bloom.BloomFilter(max(bloom.DEFAULT_BF_BYTES, n_bases // 2), H, K)
+    cbf = bloom.CountingBloomFilter8(bloom.DEFAULT_CBF_BYTES, H, K)
+    frag, step = 20000, 10000
+    t0 = time.time()
+    for rep in range(5):  # 5 passes so k-mers clear the counting threshold
+        for s in range(0, n_bases, step):
+            chunk = np.frombuffer(truth[s : s + frag + K], np.uint8)
+            native.fill_bfs(chunk, H, [K], 5, [cbf], [bf])
+    bf_build_s = time.time() - t0
+
+    # mutate: ~0.25% errors, mixed types, vectorized construction
+    err_spacing = 400
+    positions = np.arange(200, n_bases - 200, err_spacing)
+    segments = []
+    prev = 0
+    tb = truth
+    for i, p in enumerate(positions):
+        segments.append(tb[prev:p])
+        kind = i % 3
+        base = tb[p : p + 1]
+        if kind == 0:  # substitution
+            segments.append(b"A" if base != b"A" else b"G")
+            prev = p + 1
+        elif kind == 1:  # deletion from draft
+            prev = p + 1
+            continue
+        else:  # insertion into draft
+            segments.append(b"T" + base)
+            prev = p + 1
+    segments.append(tb[prev:])
+    draft = b"".join(segments)
+    return truth, draft, bf, len(positions), bf_build_s
+
+
+def main():
+    import jax
+
+    from goldpolish_tpu.polish import ntedit_oracle as ne
+    from goldpolish_tpu.polish.ntedit_tpu import NtEditTPU
+
+    platform = jax.devices()[0].platform
+    on_accel = platform not in ("cpu",)
+    backend = "jax" if on_accel else "numpy"
+    n_bases = int(os.environ.get("GPTPU_BENCH_BASES", 2_000_000))
+
+    truth, draft, bf, n_err, bf_build_s = build_scenario(n_bases)
+    cfg = ne.Config(k=K, h=H, use_ratio=True, mode=1, mask=1)
+    eng = NtEditTPU(cfg, bf, backend=backend)
+
+    # warmup on a slice (compile cache)
+    eng.polish_contig(draft[:65536])
+
+    t0 = time.time()
+    out, recs, ed = eng.polish_contig(draft)
+    dt = time.time() - t0
+    bases_per_sec = len(draft) / dt
+
+    recovered = out == truth
+    result = {
+        "metric": "polished_bases_per_sec_chip",
+        "value": round(bases_per_sec, 1),
+        "unit": "bases/s/chip",
+        "vs_baseline": round(bases_per_sec / BASELINE_CPU_BASES_PER_SEC, 3),
+    }
+    print(json.dumps(result))
+    print(
+        f"# platform={platform} backend={backend} n={n_bases} "
+        f"errors={n_err} fixed: s{ed.n_subs} i{ed.n_ins} d{ed.n_dels} "
+        f"recovered={recovered} polish_s={dt:.2f} bf_build_s={bf_build_s:.2f}",
+        file=sys.stderr,
+    )
+
+
+if __name__ == "__main__":
+    main()

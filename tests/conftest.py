@@ -1,18 +1,18 @@
-"""Test configuration: force a virtual 8-device CPU mesh before jax import.
+"""Test configuration: force an 8-device virtual CPU mesh.
 
-Sharding/collective tests run against 8 virtual CPU devices
-(xla_force_host_platform_device_count) so multi-chip code paths are exercised
-without TPU hardware; the driver separately dry-runs the multi-chip path.
+The container's sitecustomize registers the tunneled "axon" TPU plugin into
+every interpreter and env-var platform forcing is ignored, so the switch to
+CPU must happen through jax.config before any backend initialization.
+Sharding/collective tests then exercise 8 virtual CPU devices; the driver
+separately dry-runs the multi-chip path, and TPU hardware runs use bench.py.
 """
 
 import os
 import sys
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-_flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in _flags:
-    os.environ["XLA_FLAGS"] = (
-        _flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
-
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
