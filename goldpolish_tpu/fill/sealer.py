@@ -127,7 +127,8 @@ def _classify(res) -> str:
     }.get(res.path_result, "skipped")
 
 
-def seal_records(records, bfs_by_k: dict[int, object], cfg: SealerConfig):
+def seal_records(records, bfs_by_k: dict[int, object], cfg: SealerConfig,
+                 trace_out: list | None = None):
     """Gap-fill a batch of (header, seq) records.
 
     bfs_by_k: {k: host BloomFilter}.  Returns (records_out, stats) where
@@ -168,6 +169,20 @@ def seal_records(records, bfs_by_k: dict[int, object], cfg: SealerConfig):
                 gap = flanks[key1][key2]
                 res = connect_pairs(dbg, read1_seq, read2_seq, params)
                 counters[_classify(res)] += 1
+                if trace_out is not None:
+                    trace_out.append({
+                        "k": k,
+                        "read_id": f"{read1_id[:-2]}_{gap.gap_start}_{gap.gap_size}",
+                        "search_result": res.path_result,
+                        "search_cost": res.cost,
+                        "num_paths": len(res.merged_seqs),
+                        "path_lengths": ",".join(
+                            str(len(m)) for m in res.merged_seqs) or "NA",
+                        "start_kmer_pos": res.start_kmer_pos,
+                        "end_kmer_pos": res.goal_kmer_pos,
+                        "nodes_visited": res.num_nodes_visited,
+                        "max_breadth": res.max_active_branches,
+                    })
                 merged = ""
                 if res.path_result == "FOUND_PATH":
                     if res.path_mismatches > params.max_path_mismatches:

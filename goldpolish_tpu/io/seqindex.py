@@ -136,3 +136,26 @@ class SeqIndex:
         if self._fh is not None:
             self._fh.close()
             self._fh = None
+
+
+def _main(argv=None) -> int:
+    """CLI: build + save a SeqIndex (the reference's goldpolish-index,
+    reference: src/goldpolish_index.cpp:3-18).
+
+    Usage: python -m goldpolish_tpu.io.seqindex <seqs.fa|fq> <out.index>
+    """
+    import sys
+
+    args = argv if argv is not None else sys.argv[1:]
+    if len(args) != 2:
+        print(__doc__)
+        print("usage: python -m goldpolish_tpu.io.seqindex <seqs> <out.index>")
+        return 2
+    idx = SeqIndex.build(args[0])
+    idx.save(args[1])
+    print(f"indexed {len(idx)} records -> {args[1]}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(_main())

@@ -100,6 +100,10 @@ class Config:
     def __post_init__(self):
         if self.insertion_cap == 0:
             self.insertion_cap = int(self.k * 1.5)
+        if self.snv:
+            # SNV mode disables indels (reference ntedit.cpp:1988-1990)
+            self.max_insertions = 0
+            self.max_deletions = 0
 
     @property
     def bases_array(self) -> dict[str, str]:

@@ -151,11 +151,18 @@ class NtEditTPU:
             return self.bf.contains(nt.multi_hashes(base, k, h))
 
     def _eval_sites(self, codes: np.ndarray, sites: np.ndarray, n_combos: int):
-        if self._jax is not None and len(sites) > 16:
+        # device path only for tier-0 chunk evaluations (fixed 256-site
+        # bucket -> exactly one compiled program); the rare full-combo
+        # escalations are single sites and stay on host
+        if (
+            self._jax is not None
+            and len(sites) > 16
+            and n_combos <= TIER0_COMBOS
+        ):
             _, siteeval_jax = self._jax
             return siteeval_jax.eval_sites_jax(
                 codes, sites, self._words, int(self.bf.bits), self.tables,
-                self.cfg.h, n_combos,
+                self.cfg.h, n_combos, s_bucket=256,
             )
         return siteeval.eval_sites_np(
             codes, sites, self.bf, self.tables, self.cfg.h, n_combos
