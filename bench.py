@@ -93,7 +93,9 @@ def main():
     dt = time.time() - t0
     bases_per_sec = len(draft) / dt
 
-    recovered = out == truth
+    # mask=1 lowercases unfixable sites; case-fold like the pipeline's final
+    # to-upper stage before comparing
+    recovered = out.upper() == truth
     result = {
         "metric": "polished_bases_per_sec_chip",
         "value": round(bases_per_sec, 1),

@@ -22,9 +22,7 @@ from __future__ import annotations
 
 from enum import Enum
 
-import numpy as np
-
-from .konnector import DBG, revcomp
+from .konnector import DBG
 from .nw import align_global
 
 FP_TRIM = 5

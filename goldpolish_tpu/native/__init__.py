@@ -131,3 +131,74 @@ def seqindex_build(seqs_path: str, out_tsv: str) -> None:
     rc = L.gp_seqindex_build(seqs_path.encode(), out_tsv.encode())
     if rc != 0:
         raise OSError(f"gp_seqindex_build failed rc={rc} for {seqs_path}")
+
+
+def eval_sites(seq_codes: np.ndarray, sites: np.ndarray, bf, tables, hash_num: int,
+               n_combos: int | None = None):
+    """Native batched site evaluation; same results as siteeval.eval_sites_np."""
+    from ..ops.siteeval import SiteSupports
+
+    L = lib()
+    if not hasattr(L, "gp_eval_sites_configured"):
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        L.gp_eval_sites.argtypes = [
+            u8p, ctypes.c_int64, ctypes.c_uint32, ctypes.c_uint32,
+            i64p, ctypes.c_int64,
+            u8p, ctypes.c_uint64,
+            u8p, i32p,
+            u8p, i32p,
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+            i32p, ctypes.c_int32,
+            i32p, ctypes.c_int32,
+            i32p, ctypes.c_int32,
+            u8p, i32p, i32p, i32p,
+        ]
+        L.gp_eval_sites.restype = ctypes.c_int
+        L.gp_eval_sites_configured = True
+    C = tables.n_combos if n_combos is None else n_combos
+    S = len(sites)
+    seq_codes = np.ascontiguousarray(seq_codes, np.uint8)
+    sites64 = np.ascontiguousarray(sites, np.int64)
+    sub_cand = np.ascontiguousarray(tables.sub_cand, np.uint8)
+    sub_cand_n = np.ascontiguousarray(tables.sub_cand_n, np.int32)
+    combo_codes = np.ascontiguousarray(tables.combo_codes[:, :C, :], np.uint8)
+    combo_len = np.ascontiguousarray(tables.combo_len[:C], np.int32)
+    j_sub = np.ascontiguousarray(tables.j_sub, np.int32)
+    j_ins = np.ascontiguousarray(tables.j_ins, np.int32)
+    j_del = np.ascontiguousarray(tables.j_del, np.int32)
+    gate = np.zeros((S, 4), np.uint8)
+    sub_sup = np.zeros((S, 4), np.int32)
+    ins_sup = np.zeros((S, 4, C), np.int32)
+    del_sup = np.zeros((S, tables.max_del), np.int32)
+
+    def i32p_(a):
+        return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+
+    rc = L.gp_eval_sites(
+        _u8ptr(seq_codes), len(seq_codes), tables.k, hash_num,
+        sites64.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), S,
+        _u8ptr(bf.array), bf.bytes,
+        _u8ptr(sub_cand), i32p_(sub_cand_n),
+        _u8ptr(combo_codes), i32p_(combo_len),
+        C, tables.max_ins, tables.max_del,
+        i32p_(j_sub), len(j_sub),
+        i32p_(j_ins), len(j_ins),
+        i32p_(j_del), len(j_del),
+        _u8ptr(gate), i32p_(sub_sup), i32p_(ins_sup), i32p_(del_sup),
+    )
+    if rc != 0:
+        raise ValueError(f"gp_eval_sites failed rc={rc}")
+    return SiteSupports(
+        sub_cand=tables.sub_cand[
+            np.where(
+                (seq_codes[sites64 + tables.k - 1] >= 97)
+                & (seq_codes[sites64 + tables.k - 1] <= 122),
+                seq_codes[sites64 + tables.k - 1] - 32,
+                seq_codes[sites64 + tables.k - 1],
+            ).astype(np.uint8)
+        ],
+        gate=gate.astype(bool), sub_support=sub_sup,
+        ins_support=ins_sup, del_support=del_sup, n_combos=C,
+    )

@@ -258,3 +258,172 @@ int gp_seqindex_build(const char* seqs_path, const char* out_tsv) {
 }
 
 }  // extern "C"
+
+namespace {
+
+// canonical multi-hash of the first k bases of `buf`, then helpers to roll.
+struct RollState {
+  uint64_t fh = 0, rh = 0;
+  void seed(const uint8_t* buf, uint32_t k) {
+    fh = rh = 0;
+    for (uint32_t i = 0; i < k; i++) {
+      fh = srol(fh) ^ kSeeds.fwd[buf[i]];
+      rh = srol(rh) ^ kSeeds.rc[buf[k - 1 - i]];
+    }
+  }
+  void roll(uint8_t out_c, uint8_t in_c, uint32_t k) {
+    fh = srol(fh) ^ kSeeds.fwd[in_c] ^ srol_n(kSeeds.fwd[out_c], k);
+    uint64_t v = rh ^ srol_n(kSeeds.rc[in_c], k) ^ kSeeds.rc[out_c];
+    uint64_t hi = v >> 33, lo = v & M33;
+    hi = ((hi >> 1) | (hi << 30)) & M31;
+    lo = ((lo >> 1) | (lo << 32)) & M33;
+    rh = (hi << 33) | lo;
+  }
+  bool probe(const uint8_t* bf, uint64_t bits, uint32_t k, uint32_t m) const {
+    uint64_t hs[16];
+    multi_hash(fh + rh, k, m, hs);
+    return bf_contains(bf, bits, hs, m);
+  }
+};
+
+// count probes of patch windows listed in j[] (ascending); patch has plen
+// bytes; jmax_valid bounds the usable window index (-1 = no bound).
+inline int count_patch_probes(const uint8_t* patch, int plen, uint32_t k,
+                              uint32_t m, const uint8_t* bf, uint64_t bits,
+                              const int32_t* j, int nj, int64_t max_j) {
+  RollState st;
+  st.seed(patch, k);
+  int cnt = 0, ji = 0, w = 0;
+  while (ji < nj && j[ji] < 0) ji++;
+  for (;;) {
+    if (ji >= nj) break;
+    if (w == j[ji]) {
+      if ((max_j < 0 || w <= max_j) && st.probe(bf, bits, k, m)) cnt++;
+      ji++;
+      if (ji >= nj) break;
+    }
+    if (w + (int)k >= plen) break;
+    st.roll(patch[w], patch[w + k], k);
+    w++;
+  }
+  return cnt;
+}
+
+inline uint8_t upper_c(uint8_t c) { return (c >= 'a' && c <= 'z') ? c - 32 : c; }
+
+}  // namespace
+
+extern "C" {
+
+// Batched candidate-support evaluation (semantics of ops/siteeval.py):
+// for each site w: gate + sub supports (4 lanes), insertion supports
+// (4 x n_combos), deletion supports (max_del).  Tables are passed in so the
+// layouts stay single-sourced in Python.
+int gp_eval_sites(
+    const uint8_t* seq, int64_t n, uint32_t k, uint32_t hash_num,
+    const int64_t* sites, int64_t n_sites,
+    const uint8_t* bf, uint64_t bf_bytes,
+    const uint8_t* sub_cand,        // [256*4]
+    const int32_t* sub_cand_n,      // [256]
+    const uint8_t* combo_codes,     // [4 * n_combos * max_ins]
+    const int32_t* combo_len,       // [n_combos]
+    int32_t n_combos, int32_t max_ins, int32_t max_del,
+    const int32_t* j_sub, int32_t nj_sub,
+    const int32_t* j_ins, int32_t nj_ins,
+    const int32_t* j_del, int32_t nj_del,
+    uint8_t* gate_out,              // [n_sites*4]
+    int32_t* sub_out,               // [n_sites*4]
+    int32_t* ins_out,               // [n_sites*4*n_combos]
+    int32_t* del_out) {             // [n_sites*max_del]
+  if (hash_num > 16 || k > 64) return -1;
+  const uint64_t bits = bf_bytes * 8;
+  const int L_sub = 2 * k, L_ins = 2 * k + max_ins, L_del = 2 * k - 1;
+  std::vector<uint8_t> patch(L_ins + 8, 0);
+  std::vector<uint8_t> suffix(k + max_del, 0);
+
+  int base_row[256];
+  std::memset(base_row, 0, sizeof(base_row));
+  base_row['A'] = 0; base_row['C'] = 1; base_row['G'] = 2; base_row['T'] = 3;
+
+  for (int64_t si = 0; si < n_sites; si++) {
+    const int64_t w = sites[si];
+    const int64_t p = w + k - 1;
+    const uint8_t draft = upper_c(seq[p]);
+    // suffix s[p+1 : p+1+k+max_del], zero-padded past the end
+    for (int i = 0; i < (int)k + max_del; i++) {
+      const int64_t q = p + 1 + i;
+      suffix[i] = (q < n) ? seq[q] : 0;
+    }
+    RollState win;
+    win.seed(seq + w, k);
+    const uint64_t fh0 = win.fh, rh0 = win.rh;
+    const int nc = sub_cand_n[draft];
+    // --- substitutions + gate
+    for (int ci = 0; ci < 4; ci++) {
+      gate_out[si * 4 + ci] = 0;
+      sub_out[si * 4 + ci] = 0;
+      if (ci >= nc) continue;
+      const uint8_t sub = sub_cand[draft * 4 + ci];
+      RollState g{fh0, rh0};
+      // changelast draft -> sub
+      g.fh = fh0 ^ kSeeds.fwd[draft] ^ kSeeds.fwd[sub];
+      {
+        uint64_t v = srol(rh0) ^ srol_n(kSeeds.rc[draft], k) ^ srol_n(kSeeds.rc[sub], k);
+        uint64_t hi = v >> 33, lo = v & M33;
+        hi = ((hi >> 1) | (hi << 30)) & M31;
+        lo = ((lo >> 1) | (lo << 32)) & M33;
+        g.rh = (hi << 33) | lo;
+      }
+      gate_out[si * 4 + ci] = g.probe(bf, bits, k, hash_num) ? 1 : 0;
+      // patch = prefix(k-1) + sub + suffix[:k]  (L = 2k)
+      std::memcpy(patch.data(), seq + w, k - 1);
+      patch[k - 1] = sub;
+      std::memcpy(patch.data() + k, suffix.data(), k);
+      sub_out[si * 4 + ci] =
+          count_patch_probes(patch.data(), L_sub, k, hash_num, bf, bits,
+                             j_sub, nj_sub, -1);
+      // --- insertions for this index char
+      const int row = base_row[sub];
+      for (int c = 0; c < n_combos; c++) {
+        const int m = combo_len[c];
+        std::memcpy(patch.data(), seq + w, k - 1);
+        std::memcpy(patch.data() + k - 1,
+                    combo_codes + ((int64_t)row * n_combos + c) * max_ins, m);
+        patch[k - 1 + m] = draft;
+        std::memcpy(patch.data() + k + m, suffix.data(), k - 1);
+        ins_out[(si * 4 + ci) * n_combos + c] =
+            count_patch_probes(patch.data(), k + m + (int)k - 1 + 1 - 1, k,
+                               hash_num, bf, bits, j_ins, nj_ins, -1);
+      }
+    }
+    // --- deletions (independent of index char)
+    for (int d = 1; d <= max_del; d++) {
+      std::memcpy(patch.data(), seq + w, k - 1);
+      std::memcpy(patch.data() + k - 1, suffix.data() + d - 1, k);
+      // validity: j == 0 needs p+d <= n-1; j > 0 needs p+d+j+1 <= n-1
+      int cnt = 0;
+      {
+        RollState st;
+        st.seed(patch.data(), k);
+        int ji = 0, w2 = 0;
+        for (;;) {
+          if (ji >= nj_del) break;
+          if (w2 == j_del[ji]) {
+            bool valid = (w2 == 0) ? (p + d <= n - 1)
+                                   : (p + d + w2 + 1 <= n - 1);
+            if (valid && st.probe(bf, bits, k, hash_num)) cnt++;
+            ji++;
+            if (ji >= nj_del) break;
+          }
+          if (w2 + (int)k >= L_del) break;
+          st.roll(patch[w2], patch[w2 + k], k);
+          w2++;
+        }
+      }
+      del_out[si * max_del + (d - 1)] = cnt;
+    }
+  }
+  return 0;
+}
+
+}  // extern "C"

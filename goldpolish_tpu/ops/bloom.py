@@ -42,6 +42,7 @@ class BloomFilter:
     def __init__(self, bytes_size: int = DEFAULT_BF_BYTES, hash_num: int = DEFAULT_HASH_NUM, k: int = 0):
         self.bytes = int(bytes_size)
         self.bits = np.uint64(self.bytes * 8)
+        self._bits_i = self.bytes * 8
         self.hash_num = int(hash_num)
         self.k = int(k)
         self.array = np.zeros(self.bytes, dtype=np.uint8)
@@ -60,6 +61,17 @@ class BloomFilter:
 
     def contains_one(self, hashes) -> bool:
         return bool(self.contains(np.asarray(hashes, dtype=np.uint64)[None, :])[0])
+
+    def contains_tuple(self, hashes) -> bool:
+        """Scalar probe over a tuple of python-int hashes (the editor's
+        dirty-zone hot path — plain int arithmetic, no numpy overhead)."""
+        bits = self._bits_i
+        arr = self.array
+        for h in hashes:
+            b = h % bits
+            if not (arr[b >> 3] >> (b & 7)) & 1:
+                return False
+        return True
 
     @property
     def pop_count(self) -> int:

@@ -243,3 +243,75 @@ def encode(seq: str | bytes) -> np.ndarray:
     if isinstance(seq, str):
         seq = seq.encode("ascii")
     return np.frombuffer(bytes(seq), dtype=np.uint8)
+
+
+# --- pure-Python-int scalar kernels ------------------------------------------
+# The editor's dirty-zone scans call the scalar recurrences millions of times;
+# numpy scalar ops cost ~30us each while plain-int arithmetic is ~0.5us.
+# These mirror the functions above exactly (mod-2^64 int arithmetic).
+SEED_TAB_I = [int(x) for x in SEED_TAB]
+RC_SEED_TAB_I = [int(x) for x in RC_SEED_TAB]
+_MULTI_SEED_I = int(MULTI_SEED)
+
+
+def srol_i(v: int) -> int:
+    hi = v >> 33
+    lo = v & MASK33
+    hi = ((hi << 1) | (hi >> 30)) & MASK31
+    lo = ((lo << 1) | (lo >> 32)) & MASK33
+    return (hi << 33) | lo
+
+
+def sror_i(v: int) -> int:
+    hi = v >> 33
+    lo = v & MASK33
+    hi = ((hi >> 1) | (hi << 30)) & MASK31
+    lo = ((lo >> 1) | (lo << 32)) & MASK33
+    return (hi << 33) | lo
+
+
+def srol_n_i(v: int, n: int) -> int:
+    s31 = n % 31
+    s33 = n % 33
+    hi = v >> 33
+    lo = v & MASK33
+    hi = ((hi << s31) | (hi >> (31 - s31))) & MASK31
+    lo = ((lo << s33) | (lo >> (33 - s33))) & MASK33
+    return (hi << 33) | lo
+
+
+def ntc64_base_i(seq, start: int, k: int) -> tuple[int, int]:
+    """(fh, rh) of seq[start:start+k]; seq is bytes/bytearray."""
+    fh = rh = 0
+    for i in range(k):
+        fh = srol_i(fh) ^ SEED_TAB_I[seq[start + i]]
+        rh = srol_i(rh) ^ RC_SEED_TAB_I[seq[start + k - 1 - i]]
+    return fh, rh
+
+
+def ntc64_roll_i(fh: int, rh: int, k: int, c_out: int, c_in: int) -> tuple[int, int]:
+    fh = srol_i(fh) ^ SEED_TAB_I[c_in] ^ srol_n_i(SEED_TAB_I[c_out], k)
+    rh = sror_i(rh ^ srol_n_i(RC_SEED_TAB_I[c_in], k) ^ RC_SEED_TAB_I[c_out])
+    return fh, rh
+
+
+def ntc64_changelast_i(fh: int, rh: int, k: int, c_out: int, c_in: int) -> tuple[int, int]:
+    fh = fh ^ SEED_TAB_I[c_out] ^ SEED_TAB_I[c_in]
+    rh = sror_i(
+        srol_i(rh)
+        ^ srol_n_i(RC_SEED_TAB_I[c_out], k)
+        ^ srol_n_i(RC_SEED_TAB_I[c_in], k)
+    )
+    return fh, rh
+
+
+def multi_hashes_i(fh: int, rh: int, k: int, m: int) -> tuple:
+    """Canonical multi-hash values as a tuple of ints."""
+    b = (fh + rh) & MASK64
+    out = [b]
+    km = (k * _MULTI_SEED_I) & MASK64
+    for i in range(1, m):
+        t = (b * (i ^ km)) & MASK64
+        t ^= t >> MULTI_SHIFT
+        out.append(t)
+    return tuple(out)

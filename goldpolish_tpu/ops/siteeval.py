@@ -33,13 +33,13 @@ Patch geometry (p = w + k - 1 is the site's tail position):
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from functools import lru_cache
 
 import numpy as np
 
 from . import nthash as nt
-from .nthash import MULTI_SEED, MULTI_SHIFT, RC_SEED_TAB, SEED_TAB, SROL_PERIOD
+from .nthash import RC_SEED_TAB, SEED_TAB, SROL_PERIOD
 
 # candidate sub bases, padded to 4 lanes (index into this table by draft char)
 from ..polish.ntedit_oracle import MULTI_POSSIBLE_BASES, NUM_TRIES, POLISH_BASES

@@ -151,10 +151,19 @@ def run_bulk(cfg: PipelineConfig) -> dict:
             subsample_max_mapped_seqs_per_target_10kbp=cfg.resolved_subsample(),
         )
         records = ((r.name, r.seq) for r in fasta.read_seqs(cfg.seqs_to_polish))
-        batches = list(engine.make_batches(records, cfg.batch_size))
+        all_batches = list(engine.make_batches(records, cfg.batch_size))
         manifest = engine.CheckpointManifest(cfg.checkpoint or None)
-        totals = {"batches": len(batches), "contigs": 0, "bases_out": 0}
-        writer = fasta.FastaWriter(cfg.output_seqs)
+        totals = {"batches": len(all_batches), "contigs": 0, "bases_out": 0}
+
+        # multi-host: each host polishes its share of batches, publishing
+        # per-batch files; host 0 runs the ordered reaper (parallel.distributed)
+        from ..parallel import distributed as dist
+
+        host_id, n_hosts = dist.init_distributed()
+        my_batches = [
+            b for b in all_batches
+            if dist.host_owns_batch(b.index, host_id, n_hosts)
+        ]
 
         loop = asyncio.new_event_loop()
 
@@ -163,24 +172,62 @@ def run_bulk(cfg: PipelineConfig) -> dict:
                 None, polish_batch_records, batch.records, builder, cfg
             )
 
-        def sink(result: BatchResult):
-            for header, seq in result.records:
-                writer.write((header, seq))
-                totals["contigs"] += 1
-                totals["bases_out"] += len(seq)
+        if n_hosts > 1:
+            import threading
 
-        try:
-            loop.run_until_complete(
-                engine.run_pipeline(
-                    batches, worker, sink,
-                    max_concurrent=cfg.max_concurrent_batches,
-                    manifest=manifest,
+            def sink_batch(index, result: BatchResult):
+                dist.write_batch_output(cfg.output_seqs, index, result.records)
+                for _h, s in result.records:
+                    totals["contigs"] += 1
+                    totals["bases_out"] += len(s)
+
+            reaper = None
+            if host_id == 0:
+                reaper = threading.Thread(
+                    target=dist.reap, args=(cfg.output_seqs, len(all_batches))
                 )
-            )
-        finally:
-            writer.close()
-            manifest.close()
-            loop.close()
+                reaper.start()
+
+            async def run_all():
+                sem = asyncio.Semaphore(cfg.max_concurrent_batches)
+
+                async def one(b):
+                    async with sem:
+                        res = await worker(b)
+                        sink_batch(b.index, res)
+                        if manifest:
+                            manifest.mark(b.index)
+
+                await asyncio.gather(*[one(b) for b in my_batches])
+
+            try:
+                loop.run_until_complete(run_all())
+                if reaper is not None:
+                    reaper.join()
+            finally:
+                manifest.close()
+                loop.close()
+        else:
+            writer = fasta.FastaWriter(cfg.output_seqs)
+
+            def sink(result: BatchResult):
+                for header, seq in result.records:
+                    writer.write((header, seq))
+                    totals["contigs"] += 1
+                    totals["bases_out"] += len(seq)
+
+            try:
+                loop.run_until_complete(
+                    engine.run_pipeline(
+                        my_batches, worker, sink,
+                        max_concurrent=cfg.max_concurrent_batches,
+                        manifest=manifest,
+                    )
+                )
+            finally:
+                writer.close()
+                manifest.close()
+                loop.close()
         log.info(
             "polished %d contigs (%d bases) in %d batches -> %s",
             totals["contigs"], totals["bases_out"], totals["batches"],

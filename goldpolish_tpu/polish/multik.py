@@ -12,7 +12,7 @@ headers included).
 
 from __future__ import annotations
 
-from dataclasses import dataclass, replace
+from dataclasses import dataclass
 
 from .ntedit_oracle import Config
 from .ntedit_tpu import NtEditTPU

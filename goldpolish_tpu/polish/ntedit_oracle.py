@@ -25,7 +25,7 @@ fallback editor for tiny inputs.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from itertools import product
 
 import numpy as np
@@ -104,6 +104,20 @@ class Config:
             # SNV mode disables indels (reference ntedit.cpp:1988-1990)
             self.max_insertions = 0
             self.max_deletions = 0
+        # precomputed accept thresholds in float32 rounding (C++ float
+        # parity); check counts are small ints, exactly representable, so
+        # `count >= float(np.float32(expr))` == the reference comparison
+        if self.use_ratio:
+            kj = np.float32(self.k) / np.float32(self.jump)
+            self.thr_edit = float(kj * np.float32(self.edit_ratio))
+            self.thr_del = float((np.float32(1) + kj) * np.float32(self.edit_ratio))
+            self.thr_missing = float(kj * np.float32(self.missing_ratio))
+        else:
+            self.thr_edit = float(np.float32(self.k) / np.float32(self.edit_threshold))
+            self.thr_del = self.thr_edit
+            self.thr_missing = float(
+                np.float32(self.k) / np.float32(self.missing_threshold)
+            )
 
     @property
     def bases_array(self) -> dict[str, str]:
@@ -182,38 +196,19 @@ def is_repeat_insertion(s: str) -> bool:
 
 
 def accept_edit(cfg: Config, check_present: int) -> bool:
-    """Sub/ins accept rule (reference ntedit.cpp:1621-1626, 1333-1337).
-
-    float32 arithmetic to match the reference's C++ float comparisons.
-    """
-    c = np.float32(check_present)
-    if not cfg.use_ratio:
-        return bool(c >= np.float32(cfg.k) / np.float32(cfg.edit_threshold))
-    return bool(
-        c >= (np.float32(cfg.k) / np.float32(cfg.jump)) * np.float32(cfg.edit_ratio)
-    )
+    """Sub/ins accept rule (reference ntedit.cpp:1621-1626, 1333-1337);
+    threshold precomputed in float32 rounding (Config.__post_init__)."""
+    return check_present >= cfg.thr_edit
 
 
 def accept_del(cfg: Config, check_present: int) -> bool:
     """Deletion accept rule — note the extra 1+ term (reference :1226-1231)."""
-    c = np.float32(check_present)
-    if not cfg.use_ratio:
-        return bool(c >= np.float32(cfg.k) / np.float32(cfg.edit_threshold))
-    return bool(
-        c >= (np.float32(1) + np.float32(cfg.k) / np.float32(cfg.jump))
-        * np.float32(cfg.edit_ratio)
-    )
+    return check_present >= cfg.thr_del
 
 
 def accept_missing(cfg: Config, check_missing: int) -> bool:
     """Missing-kmer rule gating candidate trials (reference :1517-1523)."""
-    c = np.float32(check_missing)
-    if not cfg.use_ratio:
-        return bool(c >= np.float32(cfg.k) / np.float32(cfg.missing_threshold))
-    return bool(
-        c
-        >= (np.float32(cfg.k) / np.float32(cfg.jump)) * np.float32(cfg.missing_ratio)
-    )
+    return check_missing >= cfg.thr_missing
 
 
 def update_sub_best(best: dict, sub_base: int, check_present: int) -> None:
@@ -385,17 +380,17 @@ class _Editor:
 
     # -- hash helpers ---------------------------------------------------------
     def _contains(self, hval) -> bool:
-        if not self.bloom.contains_one(hval):
+        if not self.bloom.contains_tuple(hval):
             return False
-        if self.secbf and self.bloomrep.contains_one(hval):
+        if self.secbf and self.bloomrep.contains_tuple(hval):
             return False
         return True
 
     def _contains_primary(self, hval) -> bool:
-        return self.bloom.contains_one(hval)
+        return self.bloom.contains_tuple(hval)
 
     def _mh(self, fh, rh):
-        return nt.multi_hashes(np.uint64((fh + rh) & nt.MASK64), self.cfg.k, self.cfg.h)
+        return nt.multi_hashes_i(fh, rh, self.cfg.k, self.cfg.h)
 
     # -- rope ops (exact reference index semantics) ---------------------------
     @staticmethod
@@ -637,8 +632,7 @@ class _Editor:
             deleted.append(self.get_character(tmp["t"], new_seq[tmp["tn"]], seq))
             tmp["t"], tmp["tn"] = self.increment(tmp["t"], tmp["tn"], new_seq)
         nxt = self.get_character(tmp["t"], new_seq[tmp["tn"]], seq) if tmp["tn"] < len(new_seq) else 0
-        tfh = nt.ntf64_changelast(fh, draft_char, nxt)
-        trh = nt.ntr64_changelast(rh, cfg.k, draft_char, nxt)
+        tfh, trh = nt.ntc64_changelast_i(fh, rh, cfg.k, draft_char, nxt)
         check_present = 0
         if self._contains(self._mh(tfh, trh)):
             check_present += 1
@@ -646,7 +640,7 @@ class _Editor:
         while kk <= cfg.k - 2 and tmp["h"] < len(seq):
             ok, c_out, c_in = self.roll(tmp, seq, new_seq)
             if ok:
-                tfh, trh, _ = nt.ntc64_roll(tfh, trh, cfg.k, c_out, c_in)
+                tfh, trh = nt.ntc64_roll_i(tfh, trh, cfg.k, c_out, c_in)
                 if kk % cfg.jump == 0 and self._contains(self._mh(tfh, trh)):
                     check_present += 1
             kk += 1
@@ -661,13 +655,12 @@ class _Editor:
             + bytes([draft_char])
         )
         tmp = dict(st)
-        tfh = nt.ntf64_changelast(fh, draft_char, index_char)
-        trh = nt.ntr64_changelast(rh, cfg.k, draft_char, index_char)
+        tfh, trh = nt.ntc64_changelast_i(fh, rh, cfg.k, draft_char, index_char)
         check_present = 0
         kk = 0
         while kk < len(combo) - 1 and tmp["h"] < len(seq):
             c_out = self.get_character(tmp["h"], new_seq[tmp["hn"]], seq)
-            tfh, trh, _ = nt.ntc64_roll(tfh, trh, cfg.k, c_out, combo[kk + 1])
+            tfh, trh = nt.ntc64_roll_i(tfh, trh, cfg.k, c_out, combo[kk + 1])
             tmp["h"], tmp["hn"] = self.increment(tmp["h"], tmp["hn"], new_seq)
             if kk % cfg.jump == 0 and self._contains(self._mh(tfh, trh)):
                 check_present += 1
@@ -675,7 +668,7 @@ class _Editor:
         while kk < cfg.k - 1 and tmp["h"] < len(seq):
             ok, c_out, c_in = self.roll(tmp, seq, new_seq)
             if ok:
-                tfh, trh, _ = nt.ntc64_roll(tfh, trh, cfg.k, c_out, c_in)
+                tfh, trh = nt.ntc64_roll_i(tfh, trh, cfg.k, c_out, c_in)
                 if kk % cfg.jump == 0 and self._contains(self._mh(tfh, trh)):
                     check_present += 1
             kk += 1
@@ -689,8 +682,7 @@ class _Editor:
         n = len(seq)
         draft_char = _upper(self.get_character(st["t"], new_seq[st["tn"]], seq))
         sub_base = ord(cfg.bases_array[chr(draft_char)][ci])
-        tfh = nt.ntf64_changelast(fh, draft_char, sub_base)
-        trh = nt.ntr64_changelast(rh, k, draft_char, sub_base)
+        tfh, trh = nt.ntc64_changelast_i(fh, rh, k, draft_char, sub_base)
         gate = self._contains(self._mh(tfh, trh))
         if not (gate or cfg.mode == 2):
             return gate, 0
@@ -707,7 +699,7 @@ class _Editor:
             ok, c_out, c_in = self.roll(tmp, seq, new_seq)
             if not ok:
                 break
-            cfh, crh, _ = nt.ntc64_roll(cfh, crh, k, c_out, c_in)
+            cfh, crh = nt.ntc64_roll_i(cfh, crh, k, c_out, c_in)
             if kk % cfg.jump == 0 and self._contains(self._mh(cfh, crh)):
                 check_present += 1
             kk += 1
@@ -732,9 +724,7 @@ class _Editor:
         fh = rh = 0
         char_in = 0
         if st["h"] + k - 1 < n:
-            fh, rh, _ = nt.ntc64_base(
-                np.frombuffer(bytes(seq[st["h"] : st["h"] + k]), np.uint8), k
-            )
+            fh, rh = nt.ntc64_base_i(seq, st["h"], k)
             char_in = seq[st["t"]]
         self.dirty_end = -1
         self.scan_from(st, fh, rh, char_in, seq, new_seq, subs_record)
@@ -765,7 +755,7 @@ class _Editor:
                     if ok:
                         if not is_accepted(_upper(c_in)):
                             target = st["t"] + k
-                        fh, rh, _ = nt.ntc64_roll(fh, rh, k, c_out, c_in)
+                        fh, rh = nt.ntc64_roll_i(fh, rh, k, c_out, c_in)
                         char_in = c_in
                     else:
                         alive = False
@@ -791,7 +781,7 @@ class _Editor:
                 while kk < k and tmp["h"] < n:
                     ok, c_out, c_in = self.roll(tmp, seq, new_seq)
                     if ok:
-                        tfh, trh, _ = nt.ntc64_roll(tfh, trh, k, c_out, c_in)
+                        tfh, trh = nt.ntc64_roll_i(tfh, trh, k, c_out, c_in)
                         if not is_accepted(_upper(c_in)):
                             do_not_fix = True
                             break
@@ -841,8 +831,7 @@ class _Editor:
                 subs_record.append(rec)
             elif t_node.node_type == 1:
                 t_node.c = best["sub_base"]
-            fh = nt.ntf64_changelast(fh, draft_char, best["sub_base"])
-            rh = nt.ntr64_changelast(rh, k, draft_char, best["sub_base"])
+            fh, rh = nt.ntc64_changelast_i(fh, rh, k, draft_char, best["sub_base"])
             char_in = best["sub_base"]
         elif et == 2:
             skipped_repeat = False
@@ -853,7 +842,7 @@ class _Editor:
                     self._rollback_insertion(st, len(prev), new_seq)
                     kmer = self.find_accepted_kmer(st, seq, new_seq)
                     if kmer:
-                        fh, rh, _ = nt.ntc64_base(np.frombuffer(kmer, np.uint8), k)
+                        fh, rh = nt.ntc64_base_i(kmer, 0, k)
                         char_in = kmer[-1]
                     skipped_repeat = True
                 else:
@@ -864,7 +853,7 @@ class _Editor:
                             self._rollback_insertion(st, len(prev_l) - w, new_seq)
                             kmer = self.find_accepted_kmer(st, seq, new_seq)
                             if kmer:
-                                fh, rh, _ = nt.ntc64_base(np.frombuffer(kmer, np.uint8), k)
+                                fh, rh = nt.ntc64_base_i(kmer, 0, k)
                                 char_in = kmer[-1]
                             skipped_repeat = True
             if not skipped_repeat:
@@ -872,8 +861,7 @@ class _Editor:
                 st["tn"] = self.make_insertion(
                     st["tn"], st["t"], indel, best["num_support"], new_seq
                 )
-                fh = nt.ntf64_changelast(fh, draft_char, best["indel"][0])
-                rh = nt.ntr64_changelast(rh, k, draft_char, best["indel"][0])
+                fh, rh = nt.ntc64_changelast_i(fh, rh, k, draft_char, best["indel"][0])
                 char_in = best["indel"][0]
         elif et == 3:
             self.n_dels += 1
@@ -881,8 +869,7 @@ class _Editor:
                 st["tn"], st["t"], len(best["indel"]), best["num_support"], new_seq
             )
             nxt = self.get_character(st["t"], new_seq[st["tn"]], seq)
-            fh = nt.ntf64_changelast(fh, draft_char, nxt)
-            rh = nt.ntr64_changelast(rh, k, draft_char, nxt)
+            fh, rh = nt.ntc64_changelast_i(fh, rh, k, draft_char, nxt)
             char_in = nxt
         elif et == 0:
             self.n_nofix += 1
@@ -892,8 +879,7 @@ class _Editor:
                     seq[st["t"]] = _lower(draft_char)
                 elif t_node.node_type == 1:
                     t_node.c = _lower(draft_char)
-                fh = nt.ntf64_changelast(fh, draft_char, _lower(draft_char))
-                rh = nt.ntr64_changelast(rh, k, draft_char, _lower(draft_char))
+                fh, rh = nt.ntc64_changelast_i(fh, rh, k, draft_char, _lower(draft_char))
                 char_in = _lower(draft_char)
         if et != 0 or cfg.mask:
             # watermark of the highest draft position whose content the edit

@@ -39,11 +39,10 @@ scan and resumes jumping once the window is past `dirty_end` and literal-free.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import numpy as np
 
-from ..ops import bloom as bloom_mod
 from ..ops import nthash as nt
 from ..ops import siteeval
 from . import ntedit_oracle as orc
@@ -52,7 +51,6 @@ from .ntedit_oracle import (
     NeedMoreCombos,
     Node,
     _upper,
-    accept_missing,
     find_first_accepted_kmer,
     run_trials,
 )
@@ -75,9 +73,7 @@ class _TableProvider:
         self.draft = draft
         self.p = p  # tail position of the site window
         self.mode2 = mode2
-        self.applied_sub = False
-
-    applied_sub = False  # a gated sub trial ran (apply+revert side effect)
+        self.applied_sub = False  # a gated sub trial ran (apply+revert effect)
 
     def sub_trial(self, ci):
         gate = bool(self.sup.gate[self.si, ci])
@@ -151,22 +147,26 @@ class NtEditTPU:
             return self.bf.contains(nt.multi_hashes(base, k, h))
 
     def _eval_sites(self, codes: np.ndarray, sites: np.ndarray, n_combos: int):
-        # device path only for tier-0 chunk evaluations (fixed 256-site
-        # bucket -> exactly one compiled program); the rare full-combo
-        # escalations are single sites and stay on host
-        if (
-            self._jax is not None
-            and len(sites) > 16
-            and n_combos <= TIER0_COMBOS
-        ):
+        # device path only for chunked evaluations at the two standard tier
+        # shapes (256-site tier-0 for mode 0, 64-site full-combo for modes
+        # 1/2) -> at most two compiled programs; the rare mode-0 escalations
+        # are single sites and stay on host
+        if self._jax is not None and len(sites) > 16:
             _, siteeval_jax = self._jax
             return siteeval_jax.eval_sites_jax(
                 codes, sites, self._words, int(self.bf.bits), self.tables,
                 self.cfg.h, n_combos, s_bucket=256,
             )
-        return siteeval.eval_sites_np(
-            codes, sites, self.bf, self.tables, self.cfg.h, n_combos
-        )
+        try:
+            from .. import native
+
+            return native.eval_sites(
+                codes, sites, self.bf, self.tables, self.cfg.h, n_combos
+            )
+        except Exception:  # noqa: BLE001 — numpy fallback
+            return siteeval.eval_sites_np(
+                codes, sites, self.bf, self.tables, self.cfg.h, n_combos
+            )
 
     def _masks(self, codes: np.ndarray) -> ScanMasks:
         cfg = self.cfg
@@ -221,21 +221,38 @@ class NtEditTPU:
         if len(hot_list) == 0:
             return bytes(seq_in), [], ed
 
-        # Lazy chunked tier-0 evaluation: clustered errors produce many hot
-        # windows that the dirty-zone segments consume without ever needing
-        # their tables, and eager evaluation of everything would blow memory
-        # on error-dense contigs.  Chunks of `chunk` sites are evaluated on
-        # first touch.
-        chunk = 256
-        chunks: dict[int, siteeval.SiteSupports] = {}
+        # Lazy visited-prediction batching.  Errors produce *clusters* of hot
+        # windows but the walker only visits the first of each cluster (the
+        # edit's dirty-zone segment consumes the rest), so naive chunking
+        # evaluates ~10-15x more sites than needed.  Predict the visited
+        # subset instead: from the requested site onward, take hot sites
+        # spaced >= k apart (an accepted edit pushes the scan at least k
+        # windows forward).  A prediction miss (e.g. a no-edit decision moves
+        # to the immediate next hot window) just starts a fresh batch there.
+        # Tier choice by mode: mode 0 stops at the first accepted indel, so
+        # short combos (tier 0) resolve almost every site and the rare rest
+        # escalate; modes 1/2 always scan all 341 combos.
+        if cfg.mode == 0:
+            batch_n, tier_combos = 64, TIER0_COMBOS
+        else:
+            batch_n = 256 if self._jax is not None else 16
+            tier_combos = self.tables.n_combos
+        site_cache: dict[int, tuple[siteeval.SiteSupports, int]] = {}
 
         def sup_for(si: int) -> tuple[siteeval.SiteSupports, int]:
-            ci = si // chunk
-            if ci not in chunks:
-                chunks[ci] = self._eval_sites(
-                    codes, hot_list[ci * chunk : (ci + 1) * chunk], TIER0_COMBOS
-                )
-            return chunks[ci], si - ci * chunk
+            if si not in site_cache:
+                sel = [si]
+                last_w = int(hot_list[si])
+                j = si + 1
+                while len(sel) < batch_n and j < len(hot_list):
+                    if int(hot_list[j]) >= last_w + k:
+                        sel.append(j)
+                        last_w = int(hot_list[j])
+                    j += 1
+                sup = self._eval_sites(codes, hot_list[sel], tier_combos)
+                for row, idx in enumerate(sel):
+                    site_cache[idx] = (sup, row)
+            return site_cache[si]
 
         full_sup_cache: dict[int, siteeval.SiteSupports] = {}
 
@@ -255,9 +272,7 @@ class NtEditTPU:
                 break
             # reseed the exact scan state at this pure-draft window
             st = {"h": w_h, "t": w_h + k - 1, "hn": trailing, "tn": trailing}
-            fh, rh, _ = nt.ntc64_base(
-                np.frombuffer(bytes(seq[w_h : w_h + k]), np.uint8), k
-            )
+            fh, rh = nt.ntc64_base_i(seq, w_h, k)
             char_in = seq[st["t"]]
             draft_char = _upper(char_in)
             mode2 = cfg.mode == 2

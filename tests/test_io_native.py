@@ -145,3 +145,42 @@ def test_native_seqindex_matches_python(native_lib, tmp_path, sample_fastq):
         assert idx_nat.get_phred_avg(rid) == pytest.approx(
             idx_py.get_phred_avg(rid)
         )
+
+
+def test_native_eval_sites_matches_numpy(native_lib):
+    from goldpolish_tpu.ops import siteeval
+
+    rng = np.random.default_rng(9)
+    truth = "".join(rng.choice(list("ACGT")) for _ in range(800))
+    k, h = 32, 4
+    bf = bloom.BloomFilter(1 << 16, h, k)
+    bf.insert(nt.multi_hashes(nt.canonical_hashes(nt.encode(truth), k), k, h))
+    draft = bytearray(truth.encode())
+    for p in (200, 400, 600):
+        draft[p] = ord("A") if draft[p] != ord("A") else ord("G")
+    draft[300:301] = b""  # deletion
+    codes = np.frombuffer(bytes(draft), np.uint8)
+    tables = siteeval.make_tables(k, 3)
+    sites = np.array([200 - k + 1, 300 - k + 1, 400 - k + 2, 650, 30], np.int64)
+    want = siteeval.eval_sites_np(codes, sites, bf, tables, h)
+    got = native_lib.eval_sites(codes, sites, bf, tables, h)
+    # compare only the lanes backed by real candidates: the padded 4th lane
+    # is never consumed by run_trials and its values are don't-care
+    draft_chars = np.where(
+        (codes[sites + k - 1] >= 97) & (codes[sites + k - 1] <= 122),
+        codes[sites + k - 1] - 32, codes[sites + k - 1],
+    )
+    lane_valid = (
+        np.arange(4)[None, :] < tables.sub_cand_n[draft_chars][:, None]
+    )
+    assert np.array_equal(got.gate & lane_valid, want.gate & lane_valid)
+    assert np.array_equal(
+        np.where(lane_valid, got.sub_support, 0),
+        np.where(lane_valid, want.sub_support, 0),
+    )
+    assert np.array_equal(
+        np.where(lane_valid[:, :, None], got.ins_support, 0),
+        np.where(lane_valid[:, :, None], want.ins_support, 0),
+    )
+    assert np.array_equal(got.del_support, want.del_support)
+    assert np.array_equal(got.sub_cand, want.sub_cand)
