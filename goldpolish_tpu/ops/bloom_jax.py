@@ -70,7 +70,9 @@ def build_words(bits: int, hashes: jnp.ndarray, mask=None) -> jnp.ndarray:
     if mask is not None:
         h = hashes.shape[-1]
         mflat = jnp.repeat(mask.reshape(-1), h)
-        idx = jnp.where(mflat, idx, -1)  # mode="drop" discards
+        # out-of-bounds sentinel: mode="drop" discards OOB indices, but a
+        # negative index would *wrap* like numpy indexing
+        idx = jnp.where(mflat, idx, bits)
     bitarr = jnp.zeros(bits, dtype=jnp.uint8).at[idx].set(1, mode="drop")
     pows = (jnp.uint32(1) << jnp.arange(32, dtype=jnp.uint32))[None, :]
     return (bitarr.reshape(-1, 32).astype(jnp.uint32) * pows).sum(
@@ -100,7 +102,7 @@ def counted_build_words(
     cidx = (flat % jnp.uint64(cbf_size)).astype(jnp.int32)
     if mask is not None:
         mflat = jnp.repeat(mask.reshape(-1), hash_num)
-        cidx = jnp.where(mflat, cidx, -1)
+        cidx = jnp.where(mflat, cidx, cbf_size)  # OOB sentinel (see build_words)
     counters = jnp.zeros(cbf_size, dtype=jnp.int32).at[cidx].add(1, mode="drop")
     counts = counters[cidx.reshape(-1, hash_num)].min(axis=-1)
     promote = counts >= threshold

@@ -133,8 +133,9 @@ class NtEditTPU:
             bucket = max(256, 1 << (n - 1).bit_length())
             padded = np.zeros(bucket, np.uint8)
             padded[:n] = codes
+            self._codes_dev = jnp.asarray(padded)  # reused by eval calls
             pres = bloom_jax.probe_kmers_jit(
-                self._words, int(self.bf.bits), h, k, jnp.asarray(padded)
+                self._words, int(self.bf.bits), h, k, self._codes_dev
             )
             return np.asarray(pres)[: n - k + 1]
         try:
@@ -156,6 +157,7 @@ class NtEditTPU:
             return siteeval_jax.eval_sites_jax(
                 codes, sites, self._words, int(self.bf.bits), self.tables,
                 self.cfg.h, n_combos, s_bucket=256,
+                codes_dev=getattr(self, "_codes_dev", None),
             )
         try:
             from .. import native

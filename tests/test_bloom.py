@@ -106,3 +106,27 @@ def test_device_build_matches_host():
     host.insert(hashes)
     dev_words = np.asarray(jnp_bloom.build_words_jit(int(host.bits), jnp.asarray(hashes)))
     assert np.array_equal(dev_words, host.words_u32())
+
+
+def test_device_counted_build_promotes_at_threshold():
+    jnp_bloom = pytest.importorskip("goldpolish_tpu.ops.bloom_jax")
+    import jax
+    import jax.numpy as jnp
+
+    k, h, thresh = 24, 4, 3
+    rng = np.random.default_rng(5)
+    seq = "".join(rng.choice(list("ACGT")) for _ in range(500))
+    hashes = _hashes_for(seq, k, h)
+    # one copy: nothing promoted; three copies: everything promoted
+    build = jax.jit(jnp_bloom.counted_build_words, static_argnums=(0, 1, 2, 4))
+    bits = 1 << 18
+    words1 = np.asarray(build(bits, 1 << 16, h, jnp.asarray(hashes), thresh))
+    assert words1.sum() == 0
+    rep = np.concatenate([hashes] * 3, axis=0)
+    words3 = np.asarray(build(bits, 1 << 16, h, jnp.asarray(rep), thresh))
+    host = bloom.BloomFilter(bits // 8, h, k)
+    host.insert(hashes)
+    # every true k-mer bit must be set (fast mode is a superset filter)
+    set_bits = np.unpackbits(words3.view(np.uint8))
+    want_bits = np.unpackbits(host.words_u32().view(np.uint8))
+    assert (set_bits >= want_bits).all()

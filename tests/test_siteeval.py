@@ -180,3 +180,45 @@ def test_sites_near_contig_end_del_masks():
             if (j == 0 and p + d <= n - 1) or (j > 0 and p + d + j + 1 <= n - 1)
         )
         assert sup.del_support[0, d - 1] <= max_valid
+
+
+def test_jax_eval_matches_numpy_v2():
+    """Device-side patch construction (siteeval_jax v2) parity on CPU."""
+    import jax.numpy as jnp
+
+    from goldpolish_tpu.ops import siteeval_jax
+
+    truth, draft, bf = _mk(seq_len=900, seed=7)
+    tables = siteeval.make_tables(K, JUMP)
+    codes = nt.encode(draft.decode())
+    sites = np.array([100, 150 - K + 1, 300 - K + 1, 450 - K + 1, 700], np.int64)
+    for C in (21, tables.n_combos):
+        want = siteeval.eval_sites_np(codes, sites, bf, tables, H, n_combos=C)
+        got = siteeval_jax.eval_sites_jax(
+            codes, sites, jnp.asarray(bf.words_u32()), int(bf.bits),
+            tables, H, C,
+        )
+        assert np.array_equal(got.gate, want.gate)
+        assert np.array_equal(got.sub_support, want.sub_support)
+        assert np.array_equal(got.ins_support, want.ins_support)
+        assert np.array_equal(got.del_support, want.del_support)
+
+
+def test_jax_eval_reuses_codes_dev():
+    import jax.numpy as jnp
+
+    from goldpolish_tpu.ops import siteeval_jax
+
+    truth, draft, bf = _mk(seq_len=600, seed=8)
+    tables = siteeval.make_tables(K, JUMP)
+    codes = nt.encode(draft.decode())
+    padded = np.zeros(1024, np.uint8)
+    padded[: len(codes)] = codes
+    sites = np.array([50, 200], np.int64)
+    want = siteeval.eval_sites_np(codes, sites, bf, tables, H, n_combos=21)
+    got = siteeval_jax.eval_sites_jax(
+        codes, sites, jnp.asarray(bf.words_u32()), int(bf.bits), tables, H,
+        21, codes_dev=jnp.asarray(padded),
+    )
+    assert np.array_equal(got.sub_support, want.sub_support)
+    assert np.array_equal(got.ins_support, want.ins_support)
