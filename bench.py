@@ -36,7 +36,14 @@ def build_scenario(n_bases: int, seed: int = 0):
         rng.integers(0, 4, n_bases)
     ].tobytes()
 
-    bf = bloom.BloomFilter(max(bloom.DEFAULT_BF_BYTES, n_bases // 2), H, K)
+    # size the filter for ~n distinct k-mers: 16 bits/kmer at h=4 keeps the
+    # false-positive rate ~0.25% (the reference's fixed 512 KiB overloads
+    # beyond ~300 kbp and the editor goes blind); power of two for the fast
+    # masked probe path
+    bf_bytes = bloom.DEFAULT_BF_BYTES
+    while bf_bytes * 4 < n_bases * 2:
+        bf_bytes *= 2
+    bf = bloom.BloomFilter(bf_bytes, H, K)
     cbf = bloom.CountingBloomFilter8(bloom.DEFAULT_CBF_BYTES, H, K)
     frag, step = 20000, 10000
     t0 = time.time()

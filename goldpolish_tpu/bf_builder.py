@@ -69,7 +69,7 @@ class BFBuilder:
                  cbf_bytes: int = bloom.DEFAULT_CBF_BYTES,
                  bf_bytes: int = bloom.DEFAULT_BF_BYTES,
                  subsample_max_mapped_seqs_per_target_10kbp: float = 100.0,
-                 use_native: bool = True):
+                 use_native: bool = True, autoscale_bf: bool = True):
         self.target_index = target_index
         self.mapped_index = mapped_index
         self.all_mappings = all_mappings
@@ -78,6 +78,7 @@ class BFBuilder:
         self.cbf_bytes = cbf_bytes
         self.bf_bytes = bf_bytes
         self.subsample = subsample_max_mapped_seqs_per_target_10kbp
+        self.autoscale_bf = autoscale_bf
         self._fill = None
         if use_native:
             try:
@@ -91,13 +92,27 @@ class BFBuilder:
             self._fill = bloom.fill_bfs
 
     def build_batch(self, target_ids: list[str]) -> BatchBFs:
-        """serve_batch semantics (reference goldpolish_targeted_bfs.cpp:55-146)."""
+        """serve_batch semantics (reference goldpolish_targeted_bfs.cpp:55-146).
+
+        BF sizing: the reference uses a fixed 512 KiB
+        (goldpolish_targeted_bfs.cpp:271), which overloads once a batch holds
+        more than ~300 kbp of target sequence (>= ~10% false positives at 1
+        Mbp — the editor then sees error k-mers as present and stops
+        editing).  With autoscale_bf (default) the plain BF grows to ~16
+        bits per expected distinct k-mer, power-of-two sized for the fast
+        masked probe; set autoscale_bf=False for strict reference parity.
+        """
+        bf_bytes = self.bf_bytes
+        if self.autoscale_bf:
+            total = sum(self.target_index.get_seq_len(t) for t in target_ids)
+            while bf_bytes * 4 < total * 2:
+                bf_bytes *= 2
         cbfs = [
             bloom.CountingBloomFilter8(self.cbf_bytes, self.hash_num, k)
             for k in self.k_values
         ]
         bfs = [
-            bloom.BloomFilter(self.bf_bytes, self.hash_num, k)
+            bloom.BloomFilter(bf_bytes, self.hash_num, k)
             for k in self.k_values
         ]
         for target_id in target_ids:
