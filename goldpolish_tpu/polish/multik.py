@@ -67,8 +67,8 @@ def polish_multik(records: list[tuple[str, str]], batch_bfs, k_values=None,
                 engines[k] = eng
         nxt = []
         kstat = {"k": k, "subs": 0, "ins": 0, "dels": 0, "masked": 0}
-        for header, seq in cur:
-            out, _recs, ed = eng.polish_contig(seq.encode())
+        results = eng.polish_many([seq.encode() for _h, seq in cur])
+        for (header, _seq), (out, _recs, ed) in zip(cur, results):
             kstat["subs"] += ed.n_subs
             kstat["ins"] += ed.n_ins
             kstat["dels"] += ed.n_dels

@@ -170,10 +170,11 @@ class NtEditTPU:
                 codes, sites, self.bf, self.tables, self.cfg.h, n_combos
             )
 
-    def _masks(self, codes: np.ndarray) -> ScanMasks:
+    def _masks(self, codes: np.ndarray, present: np.ndarray | None = None) -> ScanMasks:
         cfg = self.cfg
         k, n = cfg.k, len(codes)
-        present = self._probe_all(codes)
+        if present is None:
+            present = self._probe_all(codes)
         nw = n - k + 1
         bad = ~_ACCEPTED_LUT[codes]
         badc = np.concatenate(([0], np.cumsum(bad)))
@@ -201,7 +202,44 @@ class NtEditTPU:
         return ScanMasks(present=present, hot=hot, w0=w0)
 
     # -- phase B --------------------------------------------------------------
-    def polish_contig(self, seq_in: bytes):
+    def polish_many(self, seqs: list[bytes]):
+        """Polish a batch of contigs with shared device work.
+
+        On the jax backend, the dense present[] probes of same-bucket
+        contigs run as one [B, L] device call (the reference's process-level
+        batch parallelism, SPMD-style); the sparse commit walks follow
+        per contig.  Returns a list of (edited, records, editor) triples in
+        input order.
+        """
+        presents: dict[int, np.ndarray] = {}
+        if self._jax is not None and len(seqs) > 1:
+            import jax.numpy as jnp
+
+            bloom_jax, _ = self._jax
+            k, h = self.cfg.k, self.cfg.h
+            buckets: dict[int, list[int]] = {}
+            for i, s in enumerate(seqs):
+                if len(s) >= k:
+                    buckets.setdefault(
+                        max(256, 1 << (len(s) - 1).bit_length()), []
+                    ).append(i)
+            for bucket, idxs in buckets.items():
+                padded = np.zeros((len(idxs), bucket), np.uint8)
+                for row, i in enumerate(idxs):
+                    padded[row, : len(seqs[i])] = np.frombuffer(seqs[i], np.uint8)
+                pres = np.asarray(
+                    bloom_jax.probe_kmers_jit(
+                        self._words, int(self.bf.bits), h, k, jnp.asarray(padded)
+                    )
+                )
+                for row, i in enumerate(idxs):
+                    presents[i] = pres[row, : len(seqs[i]) - k + 1]
+        return [
+            self.polish_contig(s, present=presents.get(i))
+            for i, s in enumerate(seqs)
+        ]
+
+    def polish_contig(self, seq_in: bytes, present: np.ndarray | None = None):
         """Polish one contig; returns (edited_bytes, subs_records, editor)."""
         cfg = self.cfg
         k = cfg.k
@@ -210,7 +248,15 @@ class NtEditTPU:
         if n < cfg.min_contig_len or n < k:
             return bytes(seq_in), [], ed
         codes = np.frombuffer(seq_in, np.uint8)
-        masks = self._masks(codes)
+        if present is not None and self._jax is not None:
+            # eval calls still need the contig codes on device
+            import jax.numpy as jnp
+
+            bucket = max(256, 1 << (n - 1).bit_length())
+            padded = np.zeros(bucket, np.uint8)
+            padded[:n] = codes
+            self._codes_dev = jnp.asarray(padded)
+        masks = self._masks(codes, present)
         hot_list = np.nonzero(masks.hot)[0]
 
         seq = bytearray(seq_in)

@@ -213,3 +213,19 @@ def test_fuzz_many_seeds():
             mask=int(rng.integers(2)),
         )
         _check_equal(draft.encode(), bf, cfg)
+
+
+def test_polish_many_matches_single_jax():
+    rng = np.random.default_rng(33)
+    truth = _genome(rng, 2500)
+    bf = _bf_from(truth)
+    cfg = ne.Config(**CFG)
+    seqs = []
+    for i in range(5):
+        d = _mutate(np.random.default_rng(40 + i), truth, 6, "sid")
+        seqs.append(d.encode())
+    eng = NtEditTPU(cfg, bf, backend="jax")
+    many = eng.polish_many(seqs)
+    for s, (out_m, recs_m, _) in zip(seqs, many):
+        out_1, recs_1, _ = NtEditTPU(cfg, bf, backend="numpy").polish_contig(s)
+        assert out_m == out_1 and recs_m == recs_1
