@@ -41,7 +41,7 @@ def build_scenario(n_bases: int, seed: int = 0):
     # beyond ~300 kbp and the editor goes blind); power of two for the fast
     # masked probe path
     bf_bytes = bloom.DEFAULT_BF_BYTES
-    while bf_bytes * 4 < n_bases * 2:
+    while bf_bytes < n_bases * 2:  # 2 bytes = 16 bits per expected k-mer
         bf_bytes *= 2
     bf = bloom.BloomFilter(bf_bytes, H, K)
     cbf = bloom.CountingBloomFilter8(bloom.DEFAULT_CBF_BYTES, H, K)
@@ -85,7 +85,7 @@ def main():
 
     platform = jax.devices()[0].platform
     on_accel = platform not in ("cpu",)
-    backend = "jax" if on_accel else "numpy"
+    backend = os.environ.get("GPTPU_BENCH_BACKEND") or ("hybrid" if on_accel else "numpy")
     n_bases = int(os.environ.get("GPTPU_BENCH_BASES", 2_000_000))
 
     truth, draft, bf, n_err, bf_build_s = build_scenario(n_bases)

@@ -105,7 +105,7 @@ class BFBuilder:
         bf_bytes = self.bf_bytes
         if self.autoscale_bf:
             total = sum(self.target_index.get_seq_len(t) for t in target_ids)
-            while bf_bytes * 4 < total * 2:
+            while bf_bytes < total * 2:  # 2 bytes = 16 bits per expected k-mer
                 bf_bytes *= 2
         cbfs = [
             bloom.CountingBloomFilter8(self.cbf_bytes, self.hash_num, k)

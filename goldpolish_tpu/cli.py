@@ -38,6 +38,8 @@ def build_parser() -> argparse.ArgumentParser:
                        help="Run ntLink for read mappings (default).")
     group.add_argument("--minimap2", action="store_true",
                        help="Run minimap2 for read mappings.")
+    group.add_argument("--internal-map", action="store_true",
+                       help="Use the built-in TPU-native minimizer mapper.")
     group.add_argument("--mappings", default="",
                        help="Pre-generated mappings (PAF, SAM, or ntLink TSV).")
     p.add_argument("--k-ntlink", type=int, default=88)
@@ -50,7 +52,7 @@ def build_parser() -> argparse.ArgumentParser:
     tg.add_argument("--softmask", action="store_true",
                     help="Targets from softmasked regions (with --target)")
     # TPU-framework additions
-    p.add_argument("--backend", choices=["numpy", "jax"], default="numpy",
+    p.add_argument("--backend", choices=["numpy", "jax", "hybrid"], default="numpy",
                    help="Editor compute backend (jax = TPU device path)")
     p.add_argument("--checkpoint", default="",
                    help="Checkpoint manifest path for preemption-safe resume")
@@ -73,7 +75,11 @@ def args_to_config(args) -> PipelineConfig:
         verbose=args.verbose,
         mx_max_reads_per_10kbp=args.mx_max_reads_per_10kbp,
         subsample_max_reads_per_10kbp=args.subsample_max_reads_per_10kbp,
-        mapper="minimap2" if args.minimap2 else "ntlink",
+        mapper=(
+            "minimap2" if args.minimap2
+            else "internal" if args.internal_map
+            else "ntlink"
+        ),
         mappings_path=args.mappings,
         k_ntlink=args.k_ntlink,
         w_ntlink=args.w_ntlink,

@@ -50,37 +50,51 @@ def build_indexes(cfg: PipelineConfig, workspace: str):
 
 
 def resolve_mappings(cfg: PipelineConfig, target_index) -> AllMappings:
-    """Load provided mappings or invoke an external mapper
-    (reference: scripts/goldpolish:204-295; mappers stay external exactly as
-    in the reference, which shells out to ntLink/minimap2)."""
-    path = cfg.mappings_path
-    if not path:
-        import shutil
-        import subprocess
+    """Load provided mappings or produce them.
 
-        if cfg.mapper == "minimap2" and shutil.which("minimap2"):
-            path = f"{os.path.basename(cfg.seqs_to_polish)}.{os.path.basename(cfg.polishing_seqs)}.paf"
-            with open(path, "w") as out:
-                subprocess.run(
-                    ["minimap2", f"-t{cfg.threads}", cfg.seqs_to_polish,
-                     cfg.polishing_seqs],
-                    stdout=out, check=True,
-                )
-        elif cfg.mapper == "ntlink" and shutil.which("ntLink"):
+    Mapper preference: an explicit --mappings file; else the configured
+    external mapper when on PATH (the reference shells out to
+    ntLink/minimap2, scripts/goldpolish:204-295); else the framework's own
+    minimizer mapper (self-contained, ntLink-TSV-compatible output so the
+    adaptive filter applies unchanged)."""
+    import shutil
+    import subprocess
+
+    path = cfg.mappings_path
+    if not path and cfg.mapper == "minimap2" and shutil.which("minimap2"):
+        path = (
+            f"{os.path.basename(cfg.seqs_to_polish)}."
+            f"{os.path.basename(cfg.polishing_seqs)}.paf"
+        )
+        with open(path, "w") as out:
             subprocess.run(
-                ["ntLink", f"t={cfg.threads}", f"target={cfg.seqs_to_polish}",
-                 f"reads={cfg.polishing_seqs}", "pair", "verbose=True",
-                 f"k={cfg.k_ntlink}", f"w={cfg.w_ntlink}", "sensitive=True"],
-                check=True,
+                ["minimap2", f"-t{cfg.threads}", cfg.seqs_to_polish,
+                 cfg.polishing_seqs],
+                stdout=out, check=True,
             )
-            path = (
-                f"{os.path.basename(cfg.seqs_to_polish)}"
-                f".k{cfg.k_ntlink}.w{cfg.w_ntlink}.z1000.mapping.tsv"
+    elif not path and cfg.mapper == "ntlink" and shutil.which("ntLink"):
+        subprocess.run(
+            ["ntLink", f"t={cfg.threads}", f"target={cfg.seqs_to_polish}",
+             f"reads={cfg.polishing_seqs}", "pair", "verbose=True",
+             f"k={cfg.k_ntlink}", f"w={cfg.w_ntlink}", "sensitive=True"],
+            check=True,
+        )
+        path = (
+            f"{os.path.basename(cfg.seqs_to_polish)}"
+            f".k{cfg.k_ntlink}.w{cfg.w_ntlink}.z1000.mapping.tsv"
+        )
+    elif not path:
+        from .. import mapper as internal_mapper
+
+        if cfg.mapper != "internal":
+            log.warning(
+                "mapper '%s' not on PATH; using the internal minimizer mapper",
+                cfg.mapper,
             )
-        else:
-            raise RuntimeError(
-                f"mapper '{cfg.mapper}' not available and no --mappings given"
-            )
+        path = f"{os.path.basename(cfg.seqs_to_polish)}.internal.mapping.tsv"
+        internal_mapper.write_mapping_tsv(
+            cfg.seqs_to_polish, cfg.polishing_seqs, path
+        )
     return AllMappings.load(
         path, target_index,
         mx_max_mapped_seqs_per_target_10kbp=cfg.mx_max_reads_per_10kbp,
@@ -95,15 +109,26 @@ class BatchResult:
 
 def polish_batch_records(records, builder: BFBuilder, cfg: PipelineConfig,
                          engines_cache=None) -> BatchResult:
-    """One batch through the full chain (ntedit -> mask -> sealer -> upper)."""
+    """One batch through the full chain (ntedit -> mask -> sealer -> upper).
+
+    Per-stage wall times land in stats["timing"] — the in-process
+    equivalent of the reference's opt-in GNU-time rule wrapping
+    (reference: goldpolish-make:36-41, smk --benchmark)."""
+    import time as _time
+
     ids = [h.split()[0] for h, _ in records]
+    timing: dict = {}
+    t0 = _time.monotonic()
     batch_bfs = builder.build_batch(ids)
-    stats: dict = {}
+    timing["bf_build_s"] = round(_time.monotonic() - t0, 3)
+    stats: dict = {"timing": timing}
     # 1. multi-k ntEdit with rollback guard
+    t0 = _time.monotonic()
     edited, mk_stats = multik.polish_multik(
         records, batch_bfs, k_values=cfg.k_values,
         x=cfg.ntedit_x, y=cfg.ntedit_y, backend=cfg.backend,
     )
+    timing["ntedit_s"] = round(_time.monotonic() - t0, 3)
     stats["ntedit"] = mk_stats
     if cfg.run_sealer:
         # 2. mask short runs (soft, k = first k)
@@ -122,7 +147,9 @@ def polish_batch_records(records, builder: BFBuilder, cfg: PipelineConfig,
             verbose=cfg.verbose,
         )
         bfs_by_k = {k: batch_bfs.bf_for_k(k) for k in cfg.k_values}
+        t0 = _time.monotonic()
         sealed, seal_stats = sealer_mod.seal_records(prepped, bfs_by_k, scfg)
+        timing["sealer_s"] = round(_time.monotonic() - t0, 3)
         stats["sealer"] = seal_stats
     else:
         sealed = edited

@@ -104,7 +104,15 @@ class ScanMasks:
 
 
 class NtEditTPU:
-    """Batched two-phase editor.  backend: "jax" (device) or "numpy"."""
+    """Batched two-phase editor.
+
+    backend:
+      "numpy"  — host-only (native C++ eval when available),
+      "jax"    — device dense scan + device candidate evaluation,
+      "hybrid" — device dense scan, host-native candidate evaluation
+                 (best when host<->device round trips are expensive, e.g.
+                 a tunneled chip; the dense scan is the probe majority).
+    """
 
     def __init__(self, cfg: Config, bf, backend: str = "numpy"):
         if cfg.snv:
@@ -116,7 +124,8 @@ class NtEditTPU:
             cfg.k, cfg.jump, cfg.max_insertions, cfg.max_deletions
         )
         self._jax = None
-        if backend == "jax":
+        self._device_eval = backend == "jax"
+        if backend in ("jax", "hybrid"):
             from ..ops import bloom_jax, siteeval_jax
 
             self._jax = (bloom_jax, siteeval_jax)
@@ -152,7 +161,7 @@ class NtEditTPU:
         # shapes (256-site tier-0 for mode 0, 64-site full-combo for modes
         # 1/2) -> at most two compiled programs; the rare mode-0 escalations
         # are single sites and stay on host
-        if self._jax is not None and len(sites) > 16:
+        if self._jax is not None and self._device_eval and len(sites) > 16:
             _, siteeval_jax = self._jax
             return siteeval_jax.eval_sites_jax(
                 codes, sites, self._words, int(self.bf.bits), self.tables,

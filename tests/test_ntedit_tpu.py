@@ -229,3 +229,14 @@ def test_polish_many_matches_single_jax():
     for s, (out_m, recs_m, _) in zip(seqs, many):
         out_1, recs_1, _ = NtEditTPU(cfg, bf, backend="numpy").polish_contig(s)
         assert out_m == out_1 and recs_m == recs_1
+
+
+def test_hybrid_backend_matches():
+    rng = np.random.default_rng(50)
+    truth = _genome(rng, 2500)
+    bf = _bf_from(truth)
+    draft = _mutate(rng, truth, 10, "sid").encode()
+    cfg = ne.Config(**CFG)
+    out_n, recs_n, _ = NtEditTPU(cfg, bf, backend="numpy").polish_contig(draft)
+    out_h, recs_h, _ = NtEditTPU(cfg, bf, backend="hybrid").polish_contig(draft)
+    assert out_h == out_n and recs_h == recs_n
