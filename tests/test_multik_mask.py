@@ -80,3 +80,33 @@ def test_mask_empty_becomes_N():
 
 def test_to_upper():
     assert mask.to_upper("acgTn") == "ACGTN"
+
+
+def test_multik_chain_differential_vs_oracle():
+    """The full multi-k chain through the TPU engine must equal the same
+    chain driven by the exact oracle editor."""
+    from goldpolish_tpu.polish import ntedit_oracle as ne
+
+    rng = np.random.default_rng(9)
+    truth = "".join(rng.choice(list("ACGT")) for _ in range(3000))
+    ks = [32, 28, 24]
+    batch = _bfs_for(truth, ks)
+    draft = list(truth)
+    for i, p in enumerate(range(300, 2700, 240)):
+        kind = i % 3
+        if kind == 0:
+            draft[p] = "ACGT"[("ACGT".index(draft[p]) + 1) % 4]
+        elif kind == 1:
+            draft[p] = ""
+        else:
+            draft[p] = draft[p] + "G"
+    draft = "".join(draft)
+
+    engine_out, _ = multik.polish_multik([("c", draft)], batch, k_values=ks)
+
+    cur = draft.encode()
+    for k in ks:
+        cfg = multik.ntedit_config_for_k(k)
+        cur, _, _ = ne.polish_contig(cur, batch.bf_for_k(k), cfg)
+    if len(cur) / max(1, len(draft)) >= 0.75:  # chain rollback guard parity
+        assert engine_out[0][1] == cur.decode()
