@@ -133,8 +133,17 @@ def seqindex_build(seqs_path: str, out_tsv: str) -> None:
         raise OSError(f"gp_seqindex_build failed rc={rc} for {seqs_path}")
 
 
+def _bail_needed(thr: float) -> int:
+    """Smallest integer count that passes `count >= thr` (float32 thr)."""
+    n = int(np.ceil(thr))
+    while n > 0 and np.float32(n - 1) >= np.float32(thr):
+        n -= 1
+    return max(0, n)
+
+
 def eval_sites(seq_codes: np.ndarray, sites: np.ndarray, bf, tables, hash_num: int,
-               n_combos: int | None = None):
+               n_combos: int | None = None, bail_edit: float | None = None,
+               bail_del: float | None = None):
     """Native batched site evaluation; same results as siteeval.eval_sites_np."""
     from ..ops.siteeval import SiteSupports
 
@@ -153,6 +162,7 @@ def eval_sites(seq_codes: np.ndarray, sites: np.ndarray, bf, tables, hash_num: i
             i32p, ctypes.c_int32,
             i32p, ctypes.c_int32,
             i32p, ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_int32,
             u8p, i32p, i32p, i32p,
         ]
         L.gp_eval_sites.restype = ctypes.c_int
@@ -186,6 +196,8 @@ def eval_sites(seq_codes: np.ndarray, sites: np.ndarray, bf, tables, hash_num: i
         i32p_(j_sub), len(j_sub),
         i32p_(j_ins), len(j_ins),
         i32p_(j_del), len(j_del),
+        _bail_needed(bail_edit) if bail_edit is not None else 0,
+        _bail_needed(bail_del) if bail_del is not None else 0,
         _u8ptr(gate), i32p_(sub_sup), i32p_(ins_sup), i32p_(del_sup),
     )
     if rc != 0:

@@ -288,15 +288,21 @@ struct RollState {
 
 // count probes of patch windows listed in j[] (ascending); patch has plen
 // bytes; jmax_valid bounds the usable window index (-1 = no bound).
+// bail_needed: the smallest count that can still pass the accept rule; once
+// cnt + remaining checks < bail_needed the candidate is rejected whatever
+// the remaining probes say, and any value below the threshold is
+// decision-equivalent (accepted-first comparison logic), so we stop early.
 inline int count_patch_probes(const uint8_t* patch, int plen, uint32_t k,
                               uint32_t m, const uint8_t* bf, uint64_t bits,
-                              const int32_t* j, int nj, int64_t max_j) {
+                              const int32_t* j, int nj, int64_t max_j,
+                              int bail_needed = 0) {
   RollState st;
   st.seed(patch, k);
   int cnt = 0, ji = 0, w = 0;
   while (ji < nj && j[ji] < 0) ji++;
   for (;;) {
     if (ji >= nj) break;
+    if (bail_needed > 0 && cnt + (nj - ji) < bail_needed) break;
     if (w == j[ji]) {
       if ((max_j < 0 || w <= max_j) && st.probe(bf, bits, k, m)) cnt++;
       ji++;
@@ -331,6 +337,7 @@ int gp_eval_sites(
     const int32_t* j_sub, int32_t nj_sub,
     const int32_t* j_ins, int32_t nj_ins,
     const int32_t* j_del, int32_t nj_del,
+    int32_t bail_edit, int32_t bail_del,
     uint8_t* gate_out,              // [n_sites*4]
     int32_t* sub_out,               // [n_sites*4]
     int32_t* ins_out,               // [n_sites*4*n_combos]
@@ -381,7 +388,7 @@ int gp_eval_sites(
       std::memcpy(patch.data() + k, suffix.data(), k);
       sub_out[si * 4 + ci] =
           count_patch_probes(patch.data(), L_sub, k, hash_num, bf, bits,
-                             j_sub, nj_sub, -1);
+                             j_sub, nj_sub, -1, bail_edit);
       // --- insertions for this index char
       const int row = base_row[sub];
       for (int c = 0; c < n_combos; c++) {
@@ -393,7 +400,8 @@ int gp_eval_sites(
         std::memcpy(patch.data() + k + m, suffix.data(), k - 1);
         ins_out[(si * 4 + ci) * n_combos + c] =
             count_patch_probes(patch.data(), k + m + (int)k - 1 + 1 - 1, k,
-                               hash_num, bf, bits, j_ins, nj_ins, -1);
+                               hash_num, bf, bits, j_ins, nj_ins, -1,
+                               bail_edit);
       }
     }
     // --- deletions (independent of index char)
@@ -408,6 +416,7 @@ int gp_eval_sites(
         int ji = 0, w2 = 0;
         for (;;) {
           if (ji >= nj_del) break;
+          if (bail_del > 0 && cnt + (nj_del - ji) < bail_del) break;
           if (w2 == j_del[ji]) {
             bool valid = (w2 == 0) ? (p + d <= n - 1)
                                    : (p + d + w2 + 1 <= n - 1);

@@ -32,8 +32,11 @@ def _probe_kernel(words_ref, lo_ref, out_ref, *, mask: int, hash_num: int):
     lo = lo_ref[...]  # [BLOCK_ROWS, hash_num] uint32
     idx = lo & jnp.uint32(mask)
     word_idx = (idx >> jnp.uint32(5)).astype(jnp.int32)
-    words = words_ref[...]
-    gathered = words[word_idx]  # vector gather from VMEM
+    # Mosaic supports 2D gathers only: view the word table as 2D and gather
+    # with jnp.take along axis 0 on a 2D operand
+    words = words_ref[...]  # [W] uint32
+    flat_idx = word_idx.reshape(-1)
+    gathered = jnp.take(words, flat_idx, axis=0).reshape(word_idx.shape)
     bit = (gathered >> (idx & jnp.uint32(31))) & jnp.uint32(1)
     out_ref[...] = (bit != 0).all(axis=-1)
 

@@ -370,6 +370,9 @@ class _Editor:
         self.bloom = bloom
         self.bloomrep = bloomrep
         self.secbf = bloomrep is not None
+        self._arr = bloom.array
+        self._bits = bloom._bits_i
+        self._km = (cfg.k * nt._MULTI_SEED_I) & nt.MASK64
         # counters for observability (reference prints none, but the new
         # framework's structured logs report them)
         self.n_subs = 0
@@ -388,6 +391,44 @@ class _Editor:
 
     def _contains_primary(self, hval) -> bool:
         return self.bloom.contains_tuple(hval)
+
+    def _probe_fr(self, fh: int, rh: int) -> bool:
+        """Fused canonical-multihash + Bloom probe on the (fh, rh) state —
+        the scalar scan's hot operation, kept allocation-free.  Primary +
+        optional secondary filter (same semantics as
+        _contains(_mh(fh, rh)))."""
+        b = (fh + rh) & 0xFFFFFFFFFFFFFFFF
+        arr = self._arr
+        bits = self._bits
+        t = b % bits
+        if not (arr[t >> 3] >> (t & 7)) & 1:
+            return False
+        km = self._km
+        for i in range(1, self.cfg.h):
+            t = (b * (i ^ km)) & 0xFFFFFFFFFFFFFFFF
+            t ^= t >> 27
+            t %= bits
+            if not (arr[t >> 3] >> (t & 7)) & 1:
+                return False
+        if self.secbf and self.bloomrep.contains_tuple(self._mh(fh, rh)):
+            return False
+        return True
+
+    def _probe_fr_primary(self, fh: int, rh: int) -> bool:
+        b = (fh + rh) & 0xFFFFFFFFFFFFFFFF
+        arr = self._arr
+        bits = self._bits
+        t = b % bits
+        if not (arr[t >> 3] >> (t & 7)) & 1:
+            return False
+        km = self._km
+        for i in range(1, self.cfg.h):
+            t = (b * (i ^ km)) & 0xFFFFFFFFFFFFFFFF
+            t ^= t >> 27
+            t %= bits
+            if not (arr[t >> 3] >> (t & 7)) & 1:
+                return False
+        return True
 
     def _mh(self, fh, rh):
         return nt.multi_hashes_i(fh, rh, self.cfg.k, self.cfg.h)
@@ -634,14 +675,14 @@ class _Editor:
         nxt = self.get_character(tmp["t"], new_seq[tmp["tn"]], seq) if tmp["tn"] < len(new_seq) else 0
         tfh, trh = nt.ntc64_changelast_i(fh, rh, cfg.k, draft_char, nxt)
         check_present = 0
-        if self._contains(self._mh(tfh, trh)):
+        if self._probe_fr(tfh, trh):
             check_present += 1
         kk = 1
         while kk <= cfg.k - 2 and tmp["h"] < len(seq):
             ok, c_out, c_in = self.roll(tmp, seq, new_seq)
             if ok:
                 tfh, trh = nt.ntc64_roll_i(tfh, trh, cfg.k, c_out, c_in)
-                if kk % cfg.jump == 0 and self._contains(self._mh(tfh, trh)):
+                if kk % cfg.jump == 0 and self._probe_fr(tfh, trh):
                     check_present += 1
             kk += 1
         return check_present, bytes(deleted)
@@ -662,14 +703,14 @@ class _Editor:
             c_out = self.get_character(tmp["h"], new_seq[tmp["hn"]], seq)
             tfh, trh = nt.ntc64_roll_i(tfh, trh, cfg.k, c_out, combo[kk + 1])
             tmp["h"], tmp["hn"] = self.increment(tmp["h"], tmp["hn"], new_seq)
-            if kk % cfg.jump == 0 and self._contains(self._mh(tfh, trh)):
+            if kk % cfg.jump == 0 and self._probe_fr(tfh, trh):
                 check_present += 1
             kk += 1
         while kk < cfg.k - 1 and tmp["h"] < len(seq):
             ok, c_out, c_in = self.roll(tmp, seq, new_seq)
             if ok:
                 tfh, trh = nt.ntc64_roll_i(tfh, trh, cfg.k, c_out, c_in)
-                if kk % cfg.jump == 0 and self._contains(self._mh(tfh, trh)):
+                if kk % cfg.jump == 0 and self._probe_fr(tfh, trh):
                     check_present += 1
             kk += 1
         return check_present
@@ -683,7 +724,7 @@ class _Editor:
         draft_char = _upper(self.get_character(st["t"], new_seq[st["tn"]], seq))
         sub_base = ord(cfg.bases_array[chr(draft_char)][ci])
         tfh, trh = nt.ntc64_changelast_i(fh, rh, k, draft_char, sub_base)
-        gate = self._contains(self._mh(tfh, trh))
+        gate = self._probe_fr(tfh, trh)
         if not (gate or cfg.mode == 2):
             return gate, 0
         tmp = dict(st)
@@ -700,7 +741,7 @@ class _Editor:
             if not ok:
                 break
             cfh, crh = nt.ntc64_roll_i(cfh, crh, k, c_out, c_in)
-            if kk % cfg.jump == 0 and self._contains(self._mh(cfh, crh)):
+            if kk % cfg.jump == 0 and self._probe_fr(cfh, crh):
                 check_present += 1
             kk += 1
         if t_node.node_type == 0:
@@ -769,8 +810,7 @@ class _Editor:
                 return "end", st, fh, rh, char_in
             if exit_check is not None and exit_check(st):
                 return "clean", st, fh, rh, char_in
-            hv = self._mh(fh, rh)
-            if cfg.snv or not self._contains_primary(hv):
+            if cfg.snv or not self._probe_fr_primary(fh, rh):
                 tmp = dict(st)
                 tfh, trh = fh, rh
                 draft_char = _upper(char_in)
@@ -785,7 +825,7 @@ class _Editor:
                         if not is_accepted(_upper(c_in)):
                             do_not_fix = True
                             break
-                        probe = self._contains_primary(self._mh(tfh, trh))
+                        probe = self._probe_fr_primary(tfh, trh)
                         if kk % cfg.jump == 0 and not probe:
                             check_missing += 1
                         elif is_atgc(draft_char) and kk % cfg.jump == 0 and probe:

@@ -47,12 +47,17 @@ from ..ops import nthash as nt
 from ..ops import siteeval
 from . import ntedit_oracle as orc
 from .ntedit_oracle import (
+    MULTI_POSSIBLE_BASES,
+    NUM_TRIES,
     Config,
     NeedMoreCombos,
     Node,
     _upper,
+    accept_edit,
     find_first_accepted_kmer,
+    new_best,
     run_trials,
+    update_sub_best,
 )
 
 TIER0_COMBOS = 21  # insertion combos of length <= 3; escalate to 341 on demand
@@ -94,6 +99,81 @@ class _TableProvider:
     def deleted_bases(self, d):
         # clean mode: the d bases from the tail position are pure draft
         return bytes(self.draft[self.p : self.p + d])
+
+
+def _engine_run_trials(cfg: Config, draft_char: int, provider: "_TableProvider"):
+    """Mode-1 fast path of ntedit_oracle.run_trials.
+
+    Semantically identical (the engine-vs-oracle differential suite pins
+    it), but the 341-combo indel scan is replaced by a vectorized
+    last-max-wins reduction over the support tables instead of ~1400 python
+    trial calls per site.  Other modes fall back to the shared loop.
+    """
+    if cfg.mode != 1:
+        return run_trials(cfg, draft_char, provider, 0)
+    best = new_best()
+    num_deletions = 1
+    sup = provider.sup
+    si = provider.si
+    bases = cfg.bases_array.get(chr(draft_char), "")
+    n_combos = NUM_TRIES[cfg.max_insertions]
+    if sup.n_combos < n_combos:
+        raise NeedMoreCombos
+    for ci, sub_base_s in enumerate(bases):
+        sub_base = ord(sub_base_s)
+        gate, check_present = provider.sub_trial(ci)
+        if not gate:
+            continue
+        if accept_edit(cfg, check_present):
+            update_sub_best(best, sub_base, check_present)
+            continue
+        if best["edit_type"] == 1:
+            continue
+        # vectorized tryIndels: trial order ins(0), del(d0), ins(1),
+        # del(d0+1), ..., with >= (last wins) accumulation
+        ins_vals = sup.ins_support[si, ci, :n_combos]
+        n_dels = max(0, min(n_combos, cfg.max_deletions - num_deletions + 1))
+        del_vals = sup.del_support[si, num_deletions - 1 : num_deletions - 1 + n_dels]
+        seq_len = n_combos + n_dels
+        vals = np.empty(seq_len, np.int32)
+        is_del = np.zeros(seq_len, bool)
+        payload = np.empty(seq_len, np.int32)
+        # interleave: positions 0,2,4,... for ins while dels remain
+        pos = 0
+        di = 0
+        for i in range(n_combos):
+            vals[pos] = ins_vals[i]
+            payload[pos] = i
+            pos += 1
+            if di < n_dels:
+                vals[pos] = del_vals[di]
+                is_del[pos] = True
+                payload[pos] = num_deletions + di
+                pos += 1
+                di += 1
+        num_deletions += n_dels
+        # deletions additionally require a positive raw count (the accepted
+        # tryDeletion result is then tested > 0, run_trials)
+        ok = np.where(
+            is_del,
+            (vals >= cfg.thr_del) & (vals > 0),
+            vals >= cfg.thr_edit,
+        )
+        if not ok.any():
+            continue
+        m = vals[ok].max()
+        idxs = np.flatnonzero(ok & (vals == m))
+        j = int(idxs[-1])  # >= comparisons: the last maximal trial wins
+        if is_del[j]:
+            d = int(payload[j])
+            best.update(
+                edit_type=3, indel=provider.deleted_bases(d), num_support=int(m)
+            )
+        else:
+            combo = MULTI_POSSIBLE_BASES[chr(sub_base)][int(payload[j])]
+            best.update(edit_type=2, indel=combo.encode(), num_support=int(m))
+        break  # found -> mode 1 exits the sub loop
+    return best
 
 
 @dataclass
@@ -172,7 +252,8 @@ class NtEditTPU:
             from .. import native
 
             return native.eval_sites(
-                codes, sites, self.bf, self.tables, self.cfg.h, n_combos
+                codes, sites, self.bf, self.tables, self.cfg.h, n_combos,
+                bail_edit=self.cfg.thr_edit, bail_del=self.cfg.thr_del,
             )
         except Exception:  # noqa: BLE001 — numpy fallback
             return siteeval.eval_sites_np(
@@ -336,14 +417,14 @@ class NtEditTPU:
             sup, local_si = sup_for(si)
             provider = _TableProvider(sup, local_si, seq, st["t"], mode2)
             try:
-                best = run_trials(cfg, draft_char, provider, 0)
+                best = _engine_run_trials(cfg, draft_char, provider)
             except NeedMoreCombos:
                 if w_h not in full_sup_cache:
                     full_sup_cache[w_h] = self._eval_sites(
                         codes, np.array([w_h], np.int64), self.tables.n_combos
                     )
                 provider = _TableProvider(full_sup_cache[w_h], 0, seq, st["t"], mode2)
-                best = run_trials(cfg, draft_char, provider, 0)
+                best = _engine_run_trials(cfg, draft_char, provider)
             if provider.applied_sub and seq[st["t"]] != draft_char:
                 # reference side effect: the sub-trial revert writes the
                 # *uppercased* draft char back (ntedit.cpp:1610)

@@ -1,0 +1,83 @@
+"""TPU microbenchmarks: dense scan throughput + Pallas probe kernel.
+
+Measures the device-side building blocks in isolation (no host commit):
+  * all-window canonical ntHash + 4-hash Bloom probe rate (the ntEdit
+    detection scan),
+  * the Pallas VMEM-resident probe kernel vs the XLA gather path,
+  * batched site-evaluation rate.
+
+Run on a TPU host: python tools/tpu_micro.py [n_bases]
+"""
+
+import sys
+import time
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+import numpy as np  # noqa: E402
+
+
+def main():
+    import goldpolish_tpu  # noqa: F401  (x64 + cache config)
+    import jax
+    import jax.numpy as jnp
+
+    from goldpolish_tpu import native
+    from goldpolish_tpu.ops import bloom, bloom_jax, nthash as nt
+
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 4 * 1024 * 1024
+    k, h = 32, 4
+    print(f"platform={jax.devices()[0].platform} n={n}", flush=True)
+    rng = np.random.default_rng(0)
+    codes = np.frombuffer(b"ACGT", np.uint8)[rng.integers(0, 4, n)].copy()
+    bf_bytes = bloom.DEFAULT_BF_BYTES
+    while bf_bytes < 2 * n:
+        bf_bytes *= 2
+    bf = bloom.BloomFilter(bf_bytes, h, k)
+    bf.insert(native.nthash_all(codes[: n // 2], k, h))
+    words = bloom_jax.to_device_words(bf)
+    codes_dev = jnp.asarray(codes)
+
+    # 1. dense scan (hash + probe every window)
+    fn = lambda: bloom_jax.probe_kmers_jit(words, int(bf.bits), h, k, codes_dev)
+    pres = np.asarray(fn())  # compile + correctness vs host
+    host = native.bf_contains(bf, native.nthash_all(codes, k, h))
+    print("scan parity:", np.array_equal(pres, host), flush=True)
+    t0 = time.time()
+    reps = 10
+    for _ in range(reps):
+        out = fn()
+    out.block_until_ready()
+    dt = (time.time() - t0) / reps
+    print(f"dense scan: {n/dt/1e6:.1f} M windows/s  ({dt*1e3:.1f} ms per {n})",
+          flush=True)
+
+    # 2. pallas probe kernel vs XLA gather probe on precomputed hashes
+    hashes = native.nthash_all(codes, k, h)
+    lo32 = (hashes & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+    lo_dev = jnp.asarray(lo32)
+    try:
+        from goldpolish_tpu.ops import bloom_pallas
+
+        outp = np.asarray(bloom_pallas.probe_lo32_pallas(words, int(bf.bits), lo_dev))
+        print("pallas parity:", np.array_equal(outp, host), flush=True)
+        t0 = time.time()
+        for _ in range(reps):
+            o = bloom_pallas.probe_lo32_pallas(words, int(bf.bits), lo_dev)
+        o.block_until_ready()
+        dtp = (time.time() - t0) / reps
+        print(f"pallas probe: {len(lo32)/dtp/1e6:.1f} M probes/s", flush=True)
+    except Exception as e:  # noqa: BLE001
+        print(f"pallas probe unavailable: {type(e).__name__}: {e}", flush=True)
+    ref = jax.jit(bloom_pallas.probe_lo32_reference, static_argnums=1)
+    np.asarray(ref(words, int(bf.bits), lo_dev))
+    t0 = time.time()
+    for _ in range(reps):
+        o = ref(words, int(bf.bits), lo_dev)
+    o.block_until_ready()
+    dtr = (time.time() - t0) / reps
+    print(f"xla gather probe: {len(lo32)/dtr/1e6:.1f} M probes/s", flush=True)
+
+
+if __name__ == "__main__":
+    main()
