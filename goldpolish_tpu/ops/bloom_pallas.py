@@ -32,11 +32,15 @@ def _probe_kernel(words_ref, lo_ref, out_ref, *, mask: int, hash_num: int):
     lo = lo_ref[...]  # [BLOCK_ROWS, hash_num] uint32
     idx = lo & jnp.uint32(mask)
     word_idx = (idx >> jnp.uint32(5)).astype(jnp.int32)
-    # Mosaic supports 2D gathers only: view the word table as 2D and gather
-    # with jnp.take along axis 0 on a 2D operand
+    # Mosaic supports 2D gathers only: view the word table as [rows, 128]
+    # lanes, gather whole rows by index, then select the lane with
+    # take_along_axis (both are supported 2D forms)
     words = words_ref[...]  # [W] uint32
-    flat_idx = word_idx.reshape(-1)
-    gathered = jnp.take(words, flat_idx, axis=0).reshape(word_idx.shape)
+    w2 = words.reshape(-1, 128)
+    row = (word_idx >> 7).reshape(-1)          # [BLOCK*h]
+    col = (word_idx & 127).reshape(-1, 1)      # [BLOCK*h, 1]
+    rows = jnp.take(w2, row, axis=0)           # [BLOCK*h, 128]
+    gathered = jnp.take_along_axis(rows, col, axis=1).reshape(word_idx.shape)
     bit = (gathered >> (idx & jnp.uint32(31))) & jnp.uint32(1)
     out_ref[...] = (bit != 0).all(axis=-1)
 
