@@ -79,3 +79,36 @@ def test_polish_reference_draft_roundtrip(tmp_path):
         if r.seq != t:
             mismatched.append(name)
     assert not mismatched, f"{len(mismatched)} contigs not recovered: {mismatched[:3]}"
+
+
+@pytest.mark.skipif(not os.path.exists(REF_DRAFT), reason="reference data absent")
+def test_engine_oracle_differential_on_real_sequence():
+    """Engine byte-parity vs the oracle on real GoldRush draft content
+    (repeats, non-uniform composition — harder than synthetic ACGT)."""
+    from goldpolish_tpu.ops import bloom, nthash as nt
+    from goldpolish_tpu.polish import ntedit_oracle as ne
+    from goldpolish_tpu.polish.ntedit_tpu import NtEditTPU
+
+    rng = np.random.default_rng(1)
+    recs = list(fasta.read_seqs(REF_DRAFT))[:2]
+    for rec in recs:
+        truth = rec.seq.upper()[:6000]
+        bf = bloom.BloomFilter(1 << 18, 4, 32)
+        bf.insert(nt.multi_hashes(nt.canonical_hashes(nt.encode(truth), 32), 32, 4))
+        d = list(truth)
+        for p in range(300, len(truth) - 300, 471):
+            kind = p % 3
+            if kind == 0:
+                d[p] = "ACGT"[("ACGT".index(d[p]) + 1) % 4] if d[p] in "ACGT" else d[p]
+            elif kind == 1:
+                d[p] = ""
+            else:
+                d[p] = d[p] + "T"
+        draft = "".join(d).encode()
+        for cfg in (
+            ne.Config(k=32, h=4, use_ratio=True, mode=1, mask=1),
+            ne.Config(k=32, h=4, use_ratio=True, mode=0),
+        ):
+            out_o, recs_o, _ = ne.polish_contig(draft, bf, cfg)
+            out_t, recs_t, _ = NtEditTPU(cfg, bf).polish_contig(draft)
+            assert out_t == out_o and recs_t == recs_o, rec.id
