@@ -37,9 +37,12 @@ def _probe_kernel(words_ref, lo_ref, out_ref, *, mask: int, hash_num: int):
     # take_along_axis (both are supported 2D forms)
     words = words_ref[...]  # [W] uint32
     w2 = words.reshape(-1, 128)
-    row = (word_idx >> 7).reshape(-1)          # [BLOCK*h]
+    n_flat = word_idx.shape[0] * word_idx.shape[1]
+    row = jnp.broadcast_to(
+        (word_idx >> 7).reshape(-1, 1), (n_flat, 128)
+    ).astype(jnp.int32)
     col = (word_idx & 127).reshape(-1, 1)      # [BLOCK*h, 1]
-    rows = jnp.take(w2, row, axis=0)           # [BLOCK*h, 128]
+    rows = jnp.take_along_axis(w2, row, axis=0)  # [BLOCK*h, 128]
     gathered = jnp.take_along_axis(rows, col, axis=1).reshape(word_idx.shape)
     bit = (gathered >> (idx & jnp.uint32(31))) & jnp.uint32(1)
     out_ref[...] = (bit != 0).all(axis=-1)
