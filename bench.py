@@ -95,9 +95,15 @@ def main():
     # warmup on a slice (compile cache)
     eng.polish_contig(draft[:65536])
 
+    profile_dir = os.environ.get("GPTPU_PROFILE")
+    if profile_dir:
+        jax.profiler.start_trace(profile_dir)
     t0 = time.time()
     out, recs, ed = eng.polish_contig(draft)
     dt = time.time() - t0
+    if profile_dir:
+        jax.profiler.stop_trace()
+        print(f"# jax profiler trace -> {profile_dir}", file=sys.stderr)
     bases_per_sec = len(draft) / dt
 
     # mask=1 lowercases unfixable sites; case-fold like the pipeline's final

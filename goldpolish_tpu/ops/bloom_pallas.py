@@ -48,13 +48,21 @@ def _probe_kernel(words_ref, lo_ref, out_ref, *, mask: int, hash_num: int):
     out_ref[...] = (bit != 0).all(axis=-1)
 
 
-@functools.partial(jax.jit, static_argnums=(1,))
 def probe_lo32_pallas(words: jnp.ndarray, bits: int, lo32: jnp.ndarray) -> jnp.ndarray:
     """Probe [N, hash_num] low-32-bit hash values against the BF words.
 
     bits must be a power of two (default sizing guarantees it).
-    Returns bool[N].
+    Returns bool[N].  Runs under a local x64-disable so jnp index helpers
+    inside the kernel stay 32-bit (Mosaic rejects 64-bit types).
     """
+    from jax.experimental import disable_x64
+
+    with disable_x64():
+        return _probe_lo32_pallas_32(words, bits, lo32)
+
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def _probe_lo32_pallas_32(words: jnp.ndarray, bits: int, lo32: jnp.ndarray) -> jnp.ndarray:
     assert bits & (bits - 1) == 0, "pallas probe requires power-of-two bits"
     n, h = lo32.shape
     n_pad = -(-n // BLOCK_ROWS) * BLOCK_ROWS
