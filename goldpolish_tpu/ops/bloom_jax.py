@@ -112,6 +112,21 @@ def counted_build_words(
 
 # Jitted entry points (always use these from host code; eager u64 dispatch
 # is pathologically slow).
+def probe_kmers_packed(words, bits: int, hash_num: int, k: int, codes):
+    """probe_kmers with the boolean output bit-packed into uint8 (1/8 the
+    host<->device transfer; unpack with np.unpackbits(..., bitorder='little')).
+    The window count is padded up to a multiple of 8."""
+    pres = probe_kmers(words, bits, hash_num, k, codes)
+    n = pres.shape[-1]
+    pad = (-n) % 8
+    if pad:
+        pres = jnp.pad(pres, [(0, 0)] * (pres.ndim - 1) + [(0, pad)])
+    b = pres.reshape(pres.shape[:-1] + (-1, 8)).astype(jnp.uint8)
+    weights = (jnp.uint8(1) << jnp.arange(8, dtype=jnp.uint8))
+    return (b * weights).sum(axis=-1, dtype=jnp.uint8)
+
+
 probe_kmers_jit = jax.jit(probe_kmers, static_argnums=(1, 2, 3))
+probe_kmers_packed_jit = jax.jit(probe_kmers_packed, static_argnums=(1, 2, 3))
 probe_words_jit = jax.jit(probe_words, static_argnums=1)
 build_words_jit = jax.jit(build_words, static_argnums=0)

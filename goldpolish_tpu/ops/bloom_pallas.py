@@ -5,15 +5,20 @@ src/goldpolish_targeted_bfs.cpp:271) — it fits comfortably in VMEM
 (~16 MB/core), so the probe becomes on-chip random access instead of XLA's
 HBM gathers.  The kernel receives the *low 32 bits* of every derived hash
 (the bit count is a power of two <= 2^32, so the modulo only touches the
-low word — hashes are derived u64 ntHash values computed by the XLA path),
-gathers the containing u32 words from the VMEM-resident filter, tests the
-bits and AND-reduces across the hash_num axis.
+low word), gathers the containing u32 words from the VMEM-resident filter,
+tests the bits and AND-reduces across the hash_num axis.
 
-Grid: one program per row-block of hashes; the filter block is broadcast
-(same block for every program) so Mosaic keeps it in VMEM across steps.
+STATUS (round 1): logic validated in interpret mode; on-TPU compilation is
+blocked by Mosaic's dynamic-gather constraints ("multiple source vregs
+along gather dimension" — arbitrary lookups from a 4096-row table exceed
+one vreg).  The production TPU probe path is the XLA gather
+(ops/bloom_jax.probe_words, ~30 M tuple-probes/s on a v5e chip); the
+planned kernel rewrite uses the canonical MXU one-hot int8 matmul lookup
+(split u32 words into 4 byte planes, one-hot row select on the MXU,
+recombine + lane select), which fits Mosaic today.
 
 Fallback: `probe_lo32_reference` is the jnp equivalent used for interpret-
-mode tests and for backends where the Mosaic gather is unavailable.
+mode tests and as the non-TPU path.
 """
 
 from __future__ import annotations
@@ -29,23 +34,34 @@ BLOCK_ROWS = 1024  # hash tuples per grid step
 
 
 def _probe_kernel(words_ref, lo_ref, out_ref, *, mask: int, hash_num: int):
+    """Strictly-2D formulation for Mosaic: per hash column, gather the
+    containing u32 word with two shape-preserving take_along_axis ops
+    (axis-0 row select, then axis-1 lane select) and AND-reduce."""
     lo = lo_ref[...]  # [BLOCK_ROWS, hash_num] uint32
-    idx = lo & jnp.uint32(mask)
-    word_idx = (idx >> jnp.uint32(5)).astype(jnp.int32)
-    # Mosaic supports 2D gathers only: view the word table as [rows, 128]
-    # lanes, gather whole rows by index, then select the lane with
-    # take_along_axis (both are supported 2D forms)
-    words = words_ref[...]  # [W] uint32
-    w2 = words.reshape(-1, 128)
-    n_flat = word_idx.shape[0] * word_idx.shape[1]
-    row = jnp.broadcast_to(
-        (word_idx >> 7).reshape(-1, 1), (n_flat, 128)
-    ).astype(jnp.int32)
-    col = (word_idx & 127).reshape(-1, 1)      # [BLOCK*h, 1]
-    rows = jnp.take_along_axis(w2, row, axis=0)  # [BLOCK*h, 128]
-    gathered = jnp.take_along_axis(rows, col, axis=1).reshape(word_idx.shape)
-    bit = (gathered >> (idx & jnp.uint32(31))) & jnp.uint32(1)
-    out_ref[...] = (bit != 0).all(axis=-1)
+    words = words_ref[...]
+    w2 = words.reshape(-1, 128)  # [R, 128]
+    rows_n = w2.shape[0]
+    block = lo.shape[0]
+    if block > rows_n:
+        reps = -(-block // rows_n)
+        op = jnp.concatenate([w2] * reps, axis=0)[:block]
+    else:
+        op = w2[:block] if block == rows_n else jnp.concatenate(
+            [w2, jnp.zeros((0, 128), w2.dtype)], axis=0
+        )
+    acc = None
+    for hi in range(hash_num):
+        idx_col = lo[:, hi : hi + 1] & jnp.uint32(mask)  # [BLOCK, 1]
+        word_idx = (idx_col >> jnp.uint32(5)).astype(jnp.int32)
+        row = jnp.broadcast_to(word_idx >> 7, (block, 128))
+        col = jnp.broadcast_to(word_idx & 127, (block, 128))
+        rows = jnp.take_along_axis(op, row, axis=0)
+        lanes = jnp.take_along_axis(rows, col, axis=1)
+        val = lanes[:, 0:1]  # [BLOCK, 1]
+        bitpos = idx_col & jnp.uint32(31)
+        ok = ((val >> bitpos) & jnp.uint32(1)) != 0  # [BLOCK, 1]
+        acc = ok if acc is None else (acc & ok)
+    out_ref[...] = acc
 
 
 def probe_lo32_pallas(words: jnp.ndarray, bits: int, lo32: jnp.ndarray) -> jnp.ndarray:
@@ -55,9 +71,7 @@ def probe_lo32_pallas(words: jnp.ndarray, bits: int, lo32: jnp.ndarray) -> jnp.n
     Returns bool[N].  Runs under a local x64-disable so jnp index helpers
     inside the kernel stay 32-bit (Mosaic rejects 64-bit types).
     """
-    from jax.experimental import disable_x64
-
-    with disable_x64():
+    with jax.enable_x64(False):
         return _probe_lo32_pallas_32(words, bits, lo32)
 
 
@@ -78,11 +92,11 @@ def _probe_lo32_pallas_32(words: jnp.ndarray, bits: int, lo32: jnp.ndarray) -> j
             pl.BlockSpec((BLOCK_ROWS, h), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((BLOCK_ROWS,), lambda i: (i,),
+        out_specs=pl.BlockSpec((BLOCK_ROWS, 1), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n_pad,), jnp.bool_),
+        out_shape=jax.ShapeDtypeStruct((n_pad, 1), jnp.bool_),
     )(words, lo32)
-    return out[:n]
+    return out[:n, 0]
 
 
 def probe_lo32_reference(words: jnp.ndarray, bits: int, lo32: jnp.ndarray) -> jnp.ndarray:

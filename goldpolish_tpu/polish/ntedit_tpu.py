@@ -223,10 +223,11 @@ class NtEditTPU:
             padded = np.zeros(bucket, np.uint8)
             padded[:n] = codes
             self._codes_dev = jnp.asarray(padded)  # reused by eval calls
-            pres = bloom_jax.probe_kmers_jit(
+            packed = bloom_jax.probe_kmers_packed_jit(
                 self._words, int(self.bf.bits), h, k, self._codes_dev
             )
-            return np.asarray(pres)[: n - k + 1]
+            pres = np.unpackbits(np.asarray(packed), bitorder="little")
+            return pres[: n - k + 1].astype(bool)
         try:
             from .. import native
 
@@ -317,13 +318,16 @@ class NtEditTPU:
                 padded = np.zeros((len(idxs), bucket), np.uint8)
                 for row, i in enumerate(idxs):
                     padded[row, : len(seqs[i])] = np.frombuffer(seqs[i], np.uint8)
-                pres = np.asarray(
-                    bloom_jax.probe_kmers_jit(
+                packed = np.asarray(
+                    bloom_jax.probe_kmers_packed_jit(
                         self._words, int(self.bf.bits), h, k, jnp.asarray(padded)
                     )
                 )
+                pres = np.unpackbits(
+                    packed.reshape(len(idxs), -1), axis=1, bitorder="little"
+                )
                 for row, i in enumerate(idxs):
-                    presents[i] = pres[row, : len(seqs[i]) - k + 1]
+                    presents[i] = pres[row, : len(seqs[i]) - k + 1].astype(bool)
         return [
             self.polish_contig(s, present=presents.get(i))
             for i, s in enumerate(seqs)
