@@ -51,10 +51,10 @@ def test_pallas_kernel_interpret_matches():
             pl.BlockSpec((words.shape[0],), lambda i: (0,)),
             pl.BlockSpec((bp.BLOCK_ROWS, h), lambda i: (i, 0)),
         ],
-        out_specs=pl.BlockSpec((bp.BLOCK_ROWS,), lambda i: (i,)),
-        out_shape=jax.ShapeDtypeStruct((n_pad,), jnp.bool_),
+        out_specs=pl.BlockSpec((bp.BLOCK_ROWS, 1), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((n_pad, 1), jnp.bool_),
         interpret=True,
     )(words, lo_p)
-    got = np.asarray(out)[:n]
+    got = np.asarray(out)[:n, 0]
     want = bf.contains(hashes)
     assert np.array_equal(got, want)
