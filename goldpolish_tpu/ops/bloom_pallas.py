@@ -114,3 +114,88 @@ def hashes_to_lo32(hashes) -> jnp.ndarray:
 def probe_hashes_pallas(words, bits: int, hashes) -> jnp.ndarray:
     """Convenience: u64 [N, h] hashes -> bool[N] via the pallas kernel."""
     return probe_lo32_pallas(words, bits, hashes_to_lo32(hashes))
+
+
+# --- MXU one-hot lookup kernel ----------------------------------------------
+# Mosaic's dynamic gather cannot span vector registers, so the canonical TPU
+# table lookup is a one-hot matmul on the MXU: select the containing 128-lane
+# row of the word table with a one-hot [B, R] x [R, 128] contraction, then
+# select the lane with a one-hot multiply-reduce.  u32 words ride as 4 bf16
+# byte planes (bytes 0..255 are exact in bf16; f32 accumulation is exact).
+
+MXU_BLOCK = 1024
+
+
+def _probe_mxu_kernel(planes_ref, lo_ref, out_ref, *, mask: int, hash_num: int,
+                      rows: int):
+    lo = lo_ref[...]  # [B, h] uint32
+    planes = planes_ref[...]  # [4, rows, 128] bfloat16 byte planes
+    b = lo.shape[0]
+    acc = None
+    row_iota = jax.lax.broadcasted_iota(jnp.int32, (b, rows), 1)
+    lane_iota = jax.lax.broadcasted_iota(jnp.int32, (b, 128), 1)
+    for hi in range(hash_num):
+        idx = lo[:, hi : hi + 1] & jnp.uint32(mask)  # [B,1]
+        word_idx = (idx >> jnp.uint32(5)).astype(jnp.int32)
+        row = word_idx >> 7  # [B,1]
+        col = word_idx & 127
+        one_hot = (row_iota == row).astype(jnp.bfloat16)  # [B, rows]
+        val = jnp.zeros((b, 128), jnp.uint32)
+        for byte in range(4):
+            plane = planes[byte]
+            sel = jnp.dot(one_hot, plane, preferred_element_type=jnp.float32)
+            # f32 -> u32 must go through i32 (Mosaic cast support)
+            sel_u = sel.astype(jnp.int32).astype(jnp.uint32)
+            val = val | (sel_u << jnp.uint32(8 * byte))
+        lane_oh = (lane_iota == col).astype(jnp.int32)
+        # unsigned reductions are unsupported in Mosaic: reduce as int32
+        # (word values fit, bit test only reads the selected word's bits)
+        word_val = (
+            (val.astype(jnp.int32) * lane_oh).sum(axis=1, keepdims=True)
+        ).astype(jnp.uint32)  # [B,1]
+        bitpos = idx & jnp.uint32(31)
+        ok = ((word_val >> bitpos) & jnp.uint32(1)) != 0
+        acc = ok if acc is None else (acc & ok)
+    out_ref[...] = acc
+
+
+def words_to_planes(words_u32: jnp.ndarray) -> jnp.ndarray:
+    """u32 word table -> [4, rows, 128] bf16 byte planes (host-side prep)."""
+    w2 = words_u32.reshape(-1, 128)
+    planes = [
+        ((w2 >> jnp.uint32(8 * b)) & jnp.uint32(0xFF)).astype(jnp.bfloat16)
+        for b in range(4)
+    ]
+    return jnp.stack(planes, axis=0)
+
+
+def probe_lo32_mxu(planes: jnp.ndarray, bits: int, lo32: jnp.ndarray) -> jnp.ndarray:
+    """Probe via the MXU one-hot kernel; planes from words_to_planes."""
+    with jax.enable_x64(False):
+        return _probe_lo32_mxu_32(planes, bits, lo32)
+
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def _probe_lo32_mxu_32(planes, bits: int, lo32):
+    assert bits & (bits - 1) == 0
+    n, h = lo32.shape
+    rows = planes.shape[1]
+    n_pad = -(-n // MXU_BLOCK) * MXU_BLOCK
+    if n_pad != n:
+        lo32 = jnp.pad(lo32, ((0, n_pad - n), (0, 0)))
+    out = pl.pallas_call(
+        functools.partial(
+            _probe_mxu_kernel, mask=bits - 1, hash_num=h, rows=rows
+        ),
+        grid=(n_pad // MXU_BLOCK,),
+        in_specs=[
+            pl.BlockSpec((4, rows, 128), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((MXU_BLOCK, h), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((MXU_BLOCK, 1), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_pad, 1), jnp.bool_),
+    )(planes, lo32)
+    return out[:n, 0]

@@ -58,3 +58,32 @@ def test_pallas_kernel_interpret_matches():
     got = np.asarray(out)[:n, 0]
     want = bf.contains(hashes)
     assert np.array_equal(got, want)
+
+
+def test_mxu_kernel_interpret_matches():
+    """MXU one-hot lookup kernel vs host reference (interpreter)."""
+    import functools
+
+    bf, hashes = _setup(n_kmers=2100)
+    lo = jnp.asarray((hashes & np.uint64(0xFFFFFFFF)).astype(np.uint32))
+    planes = bp.words_to_planes(jnp.asarray(bf.words_u32()))
+    n, h = lo.shape
+    n_pad = -(-n // bp.MXU_BLOCK) * bp.MXU_BLOCK
+    lo_p = jnp.pad(lo, ((0, n_pad - n), (0, 0)))
+    rows = planes.shape[1]
+    out = pl.pallas_call(
+        functools.partial(
+            bp._probe_mxu_kernel, mask=int(bf.bits) - 1, hash_num=h, rows=rows
+        ),
+        grid=(n_pad // bp.MXU_BLOCK,),
+        in_specs=[
+            pl.BlockSpec((4, rows, 128), lambda i: (0, 0, 0)),
+            pl.BlockSpec((bp.MXU_BLOCK, h), lambda i: (i, 0)),
+        ],
+        out_specs=pl.BlockSpec((bp.MXU_BLOCK, 1), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((n_pad, 1), jnp.bool_),
+        interpret=True,
+    )(planes, lo_p)
+    got = np.asarray(out)[:n, 0]
+    want = bf.contains(hashes)
+    assert np.array_equal(got, want)

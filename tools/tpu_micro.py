@@ -69,6 +69,19 @@ def main():
         print(f"pallas probe: {len(lo32)/dtp/1e6:.1f} M probes/s", flush=True)
     except Exception as e:  # noqa: BLE001
         print(f"pallas probe unavailable: {type(e).__name__}: {e}", flush=True)
+    # MXU one-hot lookup kernel
+    try:
+        planes = bloom_pallas.words_to_planes(words)
+        outm = np.asarray(bloom_pallas.probe_lo32_mxu(planes, int(bf.bits), lo_dev))
+        print("mxu kernel parity:", np.array_equal(outm, host), flush=True)
+        t0 = time.time()
+        for _ in range(reps):
+            o = bloom_pallas.probe_lo32_mxu(planes, int(bf.bits), lo_dev)
+        o.block_until_ready()
+        dtm = (time.time() - t0) / reps
+        print(f"mxu kernel probe: {len(lo32)/dtm/1e6:.1f} M probes/s", flush=True)
+    except Exception as e:  # noqa: BLE001
+        print(f"mxu kernel unavailable: {type(e).__name__}: {e}", flush=True)
     ref = jax.jit(bloom_pallas.probe_lo32_reference, static_argnums=1)
     np.asarray(ref(words, int(bf.bits), lo_dev))
     t0 = time.time()
