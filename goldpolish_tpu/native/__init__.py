@@ -33,7 +33,7 @@ def _build() -> str:
         return so_path
     cmd = [
         "g++", "-O3", "-std=c++17", "-shared", "-fPIC", "-march=native",
-        _SRC, "-o", so_path + ".tmp",
+        "-fopenmp", _SRC, "-o", so_path + ".tmp",
     ]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=300)

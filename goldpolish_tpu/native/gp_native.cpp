@@ -22,6 +22,10 @@
 #include <string>
 #include <vector>
 
+#ifdef _OPENMP
+#include <omp.h>
+#endif
+
 namespace {
 
 constexpr uint64_t SEED_A = 0x3c8bfbb395c60474ULL;
@@ -151,10 +155,16 @@ int gp_fill_bfs(const uint8_t* seq, int64_t seq_len, uint32_t hash_num,
                 uint32_t kmer_threshold, uint8_t** cbf_arrays,
                 uint64_t cbf_bytes, uint8_t** bf_arrays, uint64_t bf_bytes) {
   if (kmer_threshold < 4 || hash_num > 16) return -1;
-  unsigned thresh = kmer_threshold - 2;
   const uint64_t bf_bits = bf_bytes * 8;
-  std::vector<uint64_t> hashes(hash_num);
-  for (uint32_t ki = 0; ki < num_k; ki++, thresh++) {
+  // per-k filters are independent: parallelize the k sweep (each thread
+  // owns its own CBF/BF pair, so the conservative-update order within a
+  // read stays sequential per k -> bit-identical to the serial loop)
+#ifdef _OPENMP
+#pragma omp parallel for schedule(static, 1)
+#endif
+  for (uint32_t ki = 0; ki < num_k; ki++) {
+    const unsigned thresh = kmer_threshold - 2 + ki;
+    std::vector<uint64_t> hashes(hash_num);
     const uint32_t k = k_values[ki];
     if (seq_len < (int64_t)k) continue;
     uint8_t* cbf = cbf_arrays[ki];

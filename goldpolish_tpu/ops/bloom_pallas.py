@@ -180,6 +180,11 @@ def _probe_lo32_mxu_32(planes, bits: int, lo32):
     assert bits & (bits - 1) == 0
     n, h = lo32.shape
     rows = planes.shape[1]
+    if rows > 2048:
+        raise ValueError(
+            "MXU one-hot lookup is sized for <=1 MiB filters "
+            f"(got {rows} rows); use the XLA gather probe for larger tables"
+        )
     n_pad = -(-n // MXU_BLOCK) * MXU_BLOCK
     if n_pad != n:
         lo32 = jnp.pad(lo32, ((0, n_pad - n), (0, 0)))

@@ -52,8 +52,15 @@ def main():
     print(f"dense scan: {n/dt/1e6:.1f} M windows/s  ({dt*1e3:.1f} ms per {n})",
           flush=True)
 
-    # 2. pallas probe kernel vs XLA gather probe on precomputed hashes
+    # 2. pallas probe kernel vs XLA gather probe on precomputed hashes.
+    # Kernel paths use the reference-sized 512 KiB filter (the VMEM-resident
+    # design point; the one-hot MXU lookup scales with table rows).
+    bf_small = bloom.BloomFilter(bloom.DEFAULT_BF_BYTES, h, k)
     hashes = native.nthash_all(codes, k, h)
+    bf_small.insert(hashes[: len(hashes) // 2])
+    host = bf_small.contains(hashes)
+    words = bloom_jax.to_device_words(bf_small)
+    bf = bf_small
     lo32 = (hashes & np.uint64(0xFFFFFFFF)).astype(np.uint32)
     lo_dev = jnp.asarray(lo32)
     try:
