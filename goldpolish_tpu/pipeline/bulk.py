@@ -107,8 +107,7 @@ class BatchResult:
     stats: dict
 
 
-def polish_batch_records(records, builder: BFBuilder, cfg: PipelineConfig,
-                         engines_cache=None) -> BatchResult:
+def polish_batch_records(records, builder: BFBuilder, cfg: PipelineConfig) -> BatchResult:
     """One batch through the full chain (ntedit -> mask -> sealer -> upper).
 
     Per-stage wall times land in stats["timing"] — the in-process
