@@ -49,7 +49,8 @@ def build_indexes(cfg: PipelineConfig, workspace: str):
     return index_for(cfg.seqs_to_polish), index_for(cfg.polishing_seqs)
 
 
-def resolve_mappings(cfg: PipelineConfig, target_index) -> AllMappings:
+def resolve_mappings(cfg: PipelineConfig, target_index,
+                     workdir: str = ".") -> AllMappings:
     """Load provided mappings or produce them.
 
     Mapper preference: an explicit --mappings file; else the configured
@@ -91,7 +92,10 @@ def resolve_mappings(cfg: PipelineConfig, target_index) -> AllMappings:
                 "mapper '%s' not on PATH; using the internal minimizer mapper",
                 cfg.mapper,
             )
-        path = f"{os.path.basename(cfg.seqs_to_polish)}.internal.mapping.tsv"
+        path = os.path.join(
+            workdir,
+            f"{os.path.basename(cfg.seqs_to_polish)}.internal.mapping.tsv",
+        )
         internal_mapper.write_mapping_tsv(
             cfg.seqs_to_polish, cfg.polishing_seqs, path
         )
@@ -169,7 +173,7 @@ def run_bulk(cfg: PipelineConfig) -> dict:
     )
     try:
         target_index, reads_index = build_indexes(cfg, ws.dir)
-        all_mappings = resolve_mappings(cfg, target_index)
+        all_mappings = resolve_mappings(cfg, target_index, ws.dir)
         builder = BFBuilder(
             target_index, reads_index, all_mappings, cfg.k_values,
             hash_num=cfg.hash_num, cbf_bytes=cfg.cbf_bytes,
