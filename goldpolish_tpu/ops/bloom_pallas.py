@@ -204,3 +204,23 @@ def _probe_lo32_mxu_32(planes, bits: int, lo32):
         out_shape=jax.ShapeDtypeStruct((n_pad, 1), jnp.bool_),
     )(planes, lo32)
     return out[:n, 0]
+
+
+def probe_windows_mxu(planes, bits: int, hash_num: int, k: int, codes_dev):
+    """Dense-scan probe via the MXU kernel: XLA computes the window hashes
+    (u64 path), the Pallas kernel probes their low-32 bits against the
+    VMEM-resident filter.  Drop-in for bloom_jax.probe_kmers when
+    bits <= 2^23 (the kernel's one-hot table budget)."""
+    from . import nthash_jax as ntj
+
+    lo = _window_lo32(codes_dev, k, hash_num)
+    return probe_lo32_mxu(planes, bits, lo)
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2))
+def _window_lo32(codes, k: int, hash_num: int):
+    from . import nthash_jax as ntj
+
+    base = ntj.canonical_hashes(codes, k)
+    hashes = ntj.multi_hashes(base, k, hash_num)
+    return (hashes & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32)

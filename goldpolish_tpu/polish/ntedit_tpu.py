@@ -205,11 +205,21 @@ class NtEditTPU:
         )
         self._jax = None
         self._device_eval = backend == "jax"
+        self._mxu_planes = None
         if backend in ("jax", "hybrid"):
+            import os as _os
+
             from ..ops import bloom_jax, siteeval_jax
 
             self._jax = (bloom_jax, siteeval_jax)
             self._words = bloom_jax.to_device_words(bf)
+            if (
+                _os.environ.get("GPTPU_MXU_PROBE") == "1"
+                and int(bf.bits) <= (1 << 23)
+            ):
+                from ..ops import bloom_pallas
+
+                self._mxu_planes = bloom_pallas.words_to_planes(self._words)
 
     # -- phase A --------------------------------------------------------------
     def _probe_all(self, codes: np.ndarray) -> np.ndarray:
@@ -223,6 +233,16 @@ class NtEditTPU:
             padded = np.zeros(bucket, np.uint8)
             padded[:n] = codes
             self._codes_dev = jnp.asarray(padded)  # reused by eval calls
+            if self._mxu_planes is not None:
+                from ..ops import bloom_pallas
+
+                pres = np.asarray(
+                    bloom_pallas.probe_windows_mxu(
+                        self._mxu_planes, int(self.bf.bits), h, k,
+                        self._codes_dev,
+                    )
+                )
+                return pres[: n - k + 1]
             packed = bloom_jax.probe_kmers_packed_jit(
                 self._words, int(self.bf.bits), h, k, self._codes_dev
             )

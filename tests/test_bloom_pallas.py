@@ -87,3 +87,30 @@ def test_mxu_kernel_interpret_matches():
     got = np.asarray(out)[:n, 0]
     want = bf.contains(hashes)
     assert np.array_equal(got, want)
+
+
+def test_mxu_scan_path_env_gate(monkeypatch):
+    """GPTPU_MXU_PROBE=1 routes the dense scan through the MXU kernel and
+    matches the standard backend (interpret mode on CPU: use a tiny input)."""
+    import os
+
+    from goldpolish_tpu.polish import ntedit_oracle as ne
+    from goldpolish_tpu.polish.ntedit_tpu import NtEditTPU
+
+    rng = np.random.default_rng(0)
+    truth = "".join(rng.choice(list("ACGT")) for _ in range(1200))
+    bf = bloom.BloomFilter(1 << 16, 4, 32)
+    from goldpolish_tpu.ops import nthash as nt2
+
+    bf.insert(nt2.multi_hashes(nt2.canonical_hashes(nt2.encode(truth), 32), 32, 4))
+    d = bytearray(truth.encode())
+    d[600] = ord("A") if d[600] != ord("A") else ord("C")
+    cfg = ne.Config(k=32, h=4, use_ratio=True)
+    base_out, base_recs, _ = NtEditTPU(cfg, bf, backend="numpy").polish_contig(bytes(d))
+    monkeypatch.setenv("GPTPU_MXU_PROBE", "1")
+    # pallas interpret mode on CPU for the kernel under test
+    from jax.experimental.pallas import tpu as pltpu
+
+    with pltpu.force_tpu_interpret_mode():
+        out, recs, _ = NtEditTPU(cfg, bf, backend="hybrid").polish_contig(bytes(d))
+    assert out == base_out and recs == base_recs

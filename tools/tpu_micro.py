@@ -63,20 +63,10 @@ def main():
     bf = bf_small
     lo32 = (hashes & np.uint64(0xFFFFFFFF)).astype(np.uint32)
     lo_dev = jnp.asarray(lo32)
-    try:
-        from goldpolish_tpu.ops import bloom_pallas
+    from goldpolish_tpu.ops import bloom_pallas
 
-        outp = np.asarray(bloom_pallas.probe_lo32_pallas(words, int(bf.bits), lo_dev))
-        print("pallas parity:", np.array_equal(outp, host), flush=True)
-        t0 = time.time()
-        for _ in range(reps):
-            o = bloom_pallas.probe_lo32_pallas(words, int(bf.bits), lo_dev)
-        o.block_until_ready()
-        dtp = (time.time() - t0) / reps
-        print(f"pallas probe: {len(lo32)/dtp/1e6:.1f} M probes/s", flush=True)
-    except Exception as e:  # noqa: BLE001
-        print(f"pallas probe unavailable: {type(e).__name__}: {e}", flush=True)
-    # MXU one-hot lookup kernel
+    # MXU one-hot lookup kernel (the working on-TPU kernel; the direct
+    # dynamic-gather variant trips Mosaic's single-vreg gather limit)
     try:
         planes = bloom_pallas.words_to_planes(words)
         outm = np.asarray(bloom_pallas.probe_lo32_mxu(planes, int(bf.bits), lo_dev))
