@@ -60,6 +60,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Skip the Sealer gap-fill stage")
     p.add_argument("--concurrency", type=int, default=4,
                    help="Concurrent batches in flight")
+    p.add_argument("--process-pool", action="store_true",
+                   help="Fork-pool batch workers (host backend; scales "
+                        "past the GIL like the reference's worker processes)")
     return p
 
 
@@ -87,6 +90,7 @@ def args_to_config(args) -> PipelineConfig:
         checkpoint=args.checkpoint,
         max_concurrent_batches=args.concurrency,
         run_sealer=not args.no_sealer,
+        process_pool=args.process_pool,
         target=args.target,
         flank_length=args.length,
         bed=args.bed or "",

@@ -59,6 +59,8 @@ class PipelineConfig:
     checkpoint: str = ""  # manifest path for preemption-safe resume
     max_concurrent_batches: int = 4
     run_sealer: bool = True
+    # fork-pool batch workers (host backends only; scales past the GIL)
+    process_pool: bool = False
 
     # targeted mode (reference :158-183)
     target: bool = False

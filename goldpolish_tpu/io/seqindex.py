@@ -3,7 +3,7 @@
 TSV format and framing semantics mirror the reference indexer
 (reference: src/seqindex.{hpp,cpp}): one row per record
 `id \t seq_start_byte \t seq_len \t phred_avg`, built by a single linear
-scan assuming 2-line FASTA / 4-line FASTQ records; `get_seq` seeks and reads
+scan assuming 2-line FASTA / 4-line FASTQ records; `get_seq` preads
 the raw bytes.  The mean phred of a FASTQ record averages quality bytes
 [0, len-1) (the reference passes line.size()-1 as the length,
 reference: src/seqindex.cpp:45).
@@ -114,8 +114,11 @@ class SeqIndex:
         start, length, _ = self._records[rid]
         if self._fh is None:
             self._fh = open(self.seqs_filepath, "rb")
-        self._fh.seek(start)
-        return self._fh.read(length)
+        # pread: offset-explicit and atomic, so concurrent batch workers
+        # (threads sharing this handle, or fork-pool children sharing the
+        # file description and therefore its offset) cannot interleave a
+        # seek with another worker's read.
+        return os.pread(self._fh.fileno(), length, start)
 
     def get_seq_len(self, rid: str) -> int:
         return self._records[rid][1]

@@ -111,6 +111,46 @@ class BatchResult:
     stats: dict
 
 
+# --- fork-based process pool ------------------------------------------------
+# The asyncio thread pool is GIL-bound for the Python stages (~1.2 cores);
+# a fork pool inherits the builder/config by copy-on-write (no pickling) and
+# scales the per-batch chain across host cores — the in-process analogue of
+# the reference's 200 worker processes (scripts/goldpolish:43).  Only valid
+# with the host backends (forked children must not touch the jax runtime).
+_POOL_STATE: dict = {}
+
+
+def _pool_init():
+    """Fork-pool worker setup.
+
+    * Die with the parent: workers block on the call queue and would
+      otherwise outlive a SIGTERM'd/killed CLI process as orphans
+      (PR_SET_PDEATHSIG = 1; Linux-only, a no-op elsewhere).
+    * Run OpenMP regions on the master thread only: libgomp's thread team
+      does not survive fork(), and a child entering a parallel region with
+      the inherited (now threadless) team state deadlocks on a futex.
+      With num_threads=1 the region executes inline without touching the
+      team.  Cross-batch process parallelism replaces the k-sweep threads.
+    """
+    import ctypes
+    import signal
+
+    try:
+        ctypes.CDLL(None).prctl(1, signal.SIGTERM)
+    except Exception:  # noqa: BLE001
+        pass
+    try:
+        ctypes.CDLL("libgomp.so.1").omp_set_num_threads(1)
+    except Exception:  # noqa: BLE001
+        pass
+
+
+def _pool_worker(records):
+    return polish_batch_records(
+        records, _POOL_STATE["builder"], _POOL_STATE["cfg"]
+    )
+
+
 def polish_batch_records(records, builder: BFBuilder, cfg: PipelineConfig) -> BatchResult:
     """One batch through the full chain (ntedit -> mask -> sealer -> upper).
 
@@ -197,10 +237,33 @@ def run_bulk(cfg: PipelineConfig) -> dict:
 
         loop = asyncio.new_event_loop()
 
-        async def worker(batch: engine.Batch):
-            return await loop.run_in_executor(
-                None, polish_batch_records, batch.records, builder, cfg
+        executor = None
+        if cfg.process_pool and cfg.backend != "numpy":
+            log.warning(
+                "--process-pool requires the numpy backend (forked workers "
+                "cannot share a jax runtime); falling back to the thread pool"
             )
+        if cfg.process_pool and cfg.backend == "numpy":
+            import concurrent.futures
+            import multiprocessing
+
+            _POOL_STATE["builder"] = builder
+            _POOL_STATE["cfg"] = cfg
+            executor = concurrent.futures.ProcessPoolExecutor(
+                max_workers=cfg.max_concurrent_batches,
+                mp_context=multiprocessing.get_context("fork"),
+                initializer=_pool_init,
+            )
+
+            async def worker(batch: engine.Batch):
+                return await loop.run_in_executor(
+                    executor, _pool_worker, batch.records
+                )
+        else:
+            async def worker(batch: engine.Batch):
+                return await loop.run_in_executor(
+                    None, polish_batch_records, batch.records, builder, cfg
+                )
 
         if n_hosts > 1:
             import threading
@@ -258,6 +321,8 @@ def run_bulk(cfg: PipelineConfig) -> dict:
                 writer.close()
                 manifest.close()
                 loop.close()
+        if executor is not None:
+            executor.shutdown()
         log.info(
             "polished %d contigs (%d bases) in %d batches -> %s",
             totals["contigs"], totals["bases_out"], totals["batches"],

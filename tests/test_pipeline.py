@@ -141,3 +141,18 @@ def test_run_pipeline_ordering_under_concurrency():
 
     asyncio.run(go())
     assert out == list(range(10))
+
+
+def test_bulk_pipeline_process_pool(tmp_path):
+    """Fork-pool workers produce the same (ordered) output as in-process."""
+    draft, reads, paf, truths = _write_synthetic(tmp_path, n_contigs=4)
+    out1 = str(tmp_path / "p1.fa")
+    out2 = str(tmp_path / "p2.fa")
+    base = dict(
+        seqs_to_polish=draft, polishing_seqs=reads,
+        k_values=[32], batch_size=1, mappings_path=paf,
+        workspace=str(tmp_path), max_concurrent_batches=3, run_sealer=False,
+    )
+    bulk.run_bulk(PipelineConfig(output_seqs=out1, **base))
+    bulk.run_bulk(PipelineConfig(output_seqs=out2, process_pool=True, **base))
+    assert open(out1).read() == open(out2).read()
