@@ -92,8 +92,10 @@ def main():
     cfg = ne.Config(k=K, h=H, use_ratio=True, mode=1, mask=1)
     eng = NtEditTPU(cfg, bf, backend=backend)
 
-    # warmup on a slice (compile cache)
-    eng.polish_contig(draft[:65536])
+    # warmup: full-size run first, so the timed pass measures steady state
+    # (the dense scan is shape-bucketed; a small-slice warmup would leave the
+    # full-size bucket's XLA compile + constant upload inside the timed region)
+    eng.polish_contig(draft)
 
     profile_dir = os.environ.get("GPTPU_PROFILE")
     if profile_dir:

@@ -143,7 +143,7 @@ def _bail_needed(thr: float) -> int:
 
 def eval_sites(seq_codes: np.ndarray, sites: np.ndarray, bf, tables, hash_num: int,
                n_combos: int | None = None, bail_edit: float | None = None,
-               bail_del: float | None = None):
+               bail_del: float | None = None, skip_unused: bool = True):
     """Native batched site evaluation; same results as siteeval.eval_sites_np."""
     from ..ops.siteeval import SiteSupports
 
@@ -162,7 +162,7 @@ def eval_sites(seq_codes: np.ndarray, sites: np.ndarray, bf, tables, hash_num: i
             i32p, ctypes.c_int32,
             i32p, ctypes.c_int32,
             i32p, ctypes.c_int32,
-            ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
             u8p, i32p, i32p, i32p,
         ]
         L.gp_eval_sites.restype = ctypes.c_int
@@ -198,6 +198,7 @@ def eval_sites(seq_codes: np.ndarray, sites: np.ndarray, bf, tables, hash_num: i
         i32p_(j_del), len(j_del),
         _bail_needed(bail_edit) if bail_edit is not None else 0,
         _bail_needed(bail_del) if bail_del is not None else 0,
+        1 if skip_unused else 0,
         _u8ptr(gate), i32p_(sub_sup), i32p_(ins_sup), i32p_(del_sup),
     )
     if rc != 0:

@@ -348,9 +348,10 @@ int gp_eval_sites(
     const int32_t* j_ins, int32_t nj_ins,
     const int32_t* j_del, int32_t nj_del,
     int32_t bail_edit, int32_t bail_del,
+    int32_t skip_unused,            // skip ins lanes the decision never reads
     uint8_t* gate_out,              // [n_sites*4]
     int32_t* sub_out,               // [n_sites*4]
-    int32_t* ins_out,               // [n_sites*4*n_combos]
+    int32_t* ins_out,               // [n_sites*4*n_combos] (caller-zeroed)
     int32_t* del_out) {             // [n_sites*max_del]
   if (hash_num > 16 || k > 64) return -1;
   const uint64_t bits = bf_bytes * 8;
@@ -376,6 +377,7 @@ int gp_eval_sites(
     const uint64_t fh0 = win.fh, rh0 = win.rh;
     const int nc = sub_cand_n[draft];
     // --- substitutions + gate
+    bool sub_accepted_any = false;
     for (int ci = 0; ci < 4; ci++) {
       gate_out[si * 4 + ci] = 0;
       sub_out[si * 4 + ci] = 0;
@@ -399,6 +401,21 @@ int gp_eval_sites(
       sub_out[si * 4 + ci] =
           count_patch_probes(patch.data(), L_sub, k, hash_num, bf, bits,
                              j_sub, nj_sub, -1, bail_edit);
+      // The decision loop reads a candidate's insertion supports only when
+      // its gate passed, its substitution was NOT accepted, and no earlier
+      // gated candidate's substitution was accepted (run_trials /
+      // _engine_run_trials both `continue` past the indel scan otherwise).
+      // bail_edit is the smallest passing support, so acceptance is
+      // detectable here; with bail_edit == 0 we can't know and only the
+      // gate skip applies.  Skipped lanes stay at the caller's zeros.
+      const bool gated = gate_out[si * 4 + ci] != 0;
+      const bool accepted =
+          gated && bail_edit > 0 && sub_out[si * 4 + ci] >= bail_edit;
+      if (skip_unused && (!gated || accepted || sub_accepted_any)) {
+        sub_accepted_any = sub_accepted_any || accepted;
+        continue;
+      }
+      sub_accepted_any = sub_accepted_any || accepted;
       // --- insertions for this index char
       const int row = base_row[sub];
       for (int c = 0; c < n_combos; c++) {

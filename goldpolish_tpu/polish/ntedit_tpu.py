@@ -275,6 +275,9 @@ class NtEditTPU:
             return native.eval_sites(
                 codes, sites, self.bf, self.tables, self.cfg.h, n_combos,
                 bail_edit=self.cfg.thr_edit, bail_del=self.cfg.thr_del,
+                # modes 0/1 never read a candidate's ins supports past a
+                # failed gate or an accepted sub; mode 2 reads them always
+                skip_unused=self.cfg.mode in (0, 1),
             )
         except Exception:  # noqa: BLE001 — numpy fallback
             return siteeval.eval_sites_np(

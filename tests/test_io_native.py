@@ -163,7 +163,9 @@ def test_native_eval_sites_matches_numpy(native_lib):
     tables = siteeval.make_tables(k, 3)
     sites = np.array([200 - k + 1, 300 - k + 1, 400 - k + 2, 650, 30], np.int64)
     want = siteeval.eval_sites_np(codes, sites, bf, tables, h)
-    got = native_lib.eval_sites(codes, sites, bf, tables, h)
+    # skip_unused=False: full-array parity (production leaves decision-dead
+    # ins lanes at zero; the end-to-end differential suites cover that path)
+    got = native_lib.eval_sites(codes, sites, bf, tables, h, skip_unused=False)
     # compare only the lanes backed by real candidates: the padded 4th lane
     # is never consumed by run_trials and its values are don't-care
     draft_chars = np.where(
