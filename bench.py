@@ -1,9 +1,12 @@
 """Headline benchmark: polished bases/sec/chip through the ntEdit engine.
 
 Scenario (mirrors the reference's hot path on its bundled test shape):
-a synthetic draft with ~0.25% mixed errors is polished against a Bloom
-filter built from simulated reads of the truth genome — the ntEdit
-detect+fix scan that dominates GoldPolish runtime.
+a synthetic multi-contig draft with ~0.25% mixed errors is polished
+against a Bloom filter built from simulated reads of the truth genome —
+the ntEdit detect+fix scan that dominates GoldPolish runtime.  The dense
+detection scan of all contigs runs as one batched device call; the sparse
+commit walks run across a fork pool of host workers (the production
+polish_many path).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
@@ -12,6 +15,11 @@ CPU binaries need btllib (absent here), so the baseline is a documented
 estimate of the 48-thread CPU reference: ntEdit-class polishing sustains
 roughly 2 Mbp/s on a 48-core node (3 Gbp human draft in ~25 min for the
 multi-k chain).  vs_baseline = measured / 2.0e6.
+
+Env knobs: GPTPU_BENCH_BASES (total draft bases, default 2M),
+GPTPU_BENCH_CONTIGS (default 8), GPTPU_BENCH_PROCS (default cpu count),
+GPTPU_BENCH_BACKEND (default hybrid on accelerators, numpy on cpu),
+GPTPU_PROFILE (jax profiler trace dir).
 """
 
 import json
@@ -78,30 +86,43 @@ def build_scenario(n_bases: int, seed: int = 0):
 
 
 def main():
-    import jax
-
     from goldpolish_tpu.polish import ntedit_oracle as ne
     from goldpolish_tpu.polish.ntedit_tpu import NtEditTPU
 
-    platform = jax.devices()[0].platform
-    on_accel = platform not in ("cpu",)
-    backend = os.environ.get("GPTPU_BENCH_BACKEND") or ("hybrid" if on_accel else "numpy")
+    jax = None
+    backend = os.environ.get("GPTPU_BENCH_BACKEND")
+    if backend == "numpy":
+        platform = "host"  # pure-host run: skip jax init (and any TPU grant)
+    else:
+        import jax
+
+        platform = jax.devices()[0].platform
+        on_accel = platform not in ("cpu",)
+        backend = backend or ("hybrid" if on_accel else "numpy")
     n_bases = int(os.environ.get("GPTPU_BENCH_BASES", 2_000_000))
+    n_contigs = max(1, int(os.environ.get("GPTPU_BENCH_CONTIGS", 8)))
+    procs = int(os.environ.get("GPTPU_BENCH_PROCS", os.cpu_count() or 1))
 
     truth, draft, bf, n_err, bf_build_s = build_scenario(n_bases)
+    # split the draft into contigs (a real assembly is many contigs; the
+    # batched device scan + fork-pool commit is the production path)
+    step = max(K, len(draft) // n_contigs)
+    drafts = [draft[i : i + step] for i in range(0, len(draft), step)]
+    if len(drafts) > 1 and len(drafts[-1]) < K:
+        drafts[-2] += drafts.pop()
     cfg = ne.Config(k=K, h=H, use_ratio=True, mode=1, mask=1)
     eng = NtEditTPU(cfg, bf, backend=backend)
 
     # warmup: full-size run first, so the timed pass measures steady state
     # (the dense scan is shape-bucketed; a small-slice warmup would leave the
     # full-size bucket's XLA compile + constant upload inside the timed region)
-    eng.polish_contig(draft)
+    eng.polish_many(drafts, processes=procs)
 
     profile_dir = os.environ.get("GPTPU_PROFILE")
     if profile_dir:
         jax.profiler.start_trace(profile_dir)
     t0 = time.time()
-    out, recs, ed = eng.polish_contig(draft)
+    results = eng.polish_many(drafts, processes=procs)
     dt = time.time() - t0
     if profile_dir:
         jax.profiler.stop_trace()
@@ -109,9 +130,12 @@ def main():
     bases_per_sec = len(draft) / dt
 
     # mask=1 lowercases unfixable sites; case-fold like the pipeline's final
-    # to-upper stage before comparing.  A single-k pass leaves a tail of
-    # errors for the multi-k chain, so report the residual count too.
-    out_u = out.upper()
+    # to-upper stage before comparing.  Contig-boundary windows can leave a
+    # small residual for the multi-k chain, so report the residual count too.
+    out_u = b"".join(out for out, _recs, _ed in results).upper()
+    n_subs = sum(ed.n_subs for _o, _r, ed in results)
+    n_ins = sum(ed.n_ins for _o, _r, ed in results)
+    n_dels = sum(ed.n_dels for _o, _r, ed in results)
     recovered = out_u == truth
     if len(out_u) == len(truth):
         residual = int(np.sum(np.frombuffer(out_u, np.uint8) != np.frombuffer(truth, np.uint8)))
@@ -126,7 +150,8 @@ def main():
     print(json.dumps(result))
     print(
         f"# platform={platform} backend={backend} n={n_bases} "
-        f"errors={n_err} fixed: s{ed.n_subs} i{ed.n_ins} d{ed.n_dels} "
+        f"contigs={len(drafts)} procs={procs} "
+        f"errors={n_err} fixed: s{n_subs} i{n_ins} d{n_dels} "
         f"recovered={recovered} residual~{residual} polish_s={dt:.2f} bf_build_s={bf_build_s:.2f}",
         file=sys.stderr,
     )

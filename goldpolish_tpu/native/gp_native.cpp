@@ -462,4 +462,38 @@ int gp_eval_sites(
   return 0;
 }
 
+// Bulk clean-run for the editing walk (ntedit.cpp:1461-1760 fast path):
+// from a window whose hashes are (fh0, rh0) over seg[0..seg_len), roll
+// forward probing every window.  Stops at the first missing window (state
+// kept AT that window, *stopped_missing = 1), at the first incoming char
+// not in accept_tab (state kept at the last clean window before it), or
+// after max_steps rolls.  Returns the number of rolls performed; hashes
+// after those rolls land in *fh_out / *rh_out.  Probes are primary-BF
+// canonical probes, bit-identical to the Python _probe_fr_primary.
+int64_t gp_clean_run(
+    const uint8_t* seg, int64_t seg_len, uint32_t k, uint32_t hash_num,
+    const uint8_t* bf, uint64_t bf_bytes,
+    const uint8_t* accept_tab,  // [256] 1 = is_accepted (ATGC + IUPAC)
+    uint64_t fh0, uint64_t rh0, int64_t max_steps,
+    uint64_t* fh_out, uint64_t* rh_out, int32_t* stopped_missing) {
+  const uint64_t bits = bf_bytes * 8;
+  RollState st{fh0, rh0};
+  int64_t m = 0;
+  *stopped_missing = 0;
+  if (max_steps > seg_len - (int64_t)k) max_steps = seg_len - (int64_t)k;
+  for (int64_t i = 1; i <= max_steps; i++) {
+    const uint8_t cin = seg[i + k - 1];
+    if (!accept_tab[cin]) break;
+    st.roll(seg[i - 1], cin, k);
+    m = i;
+    if (!st.probe(bf, bits, k, hash_num)) {
+      *stopped_missing = 1;
+      break;
+    }
+  }
+  *fh_out = st.fh;
+  *rh_out = st.rh;
+  return m;
+}
+
 }  // extern "C"

@@ -120,31 +120,6 @@ class BatchResult:
 _POOL_STATE: dict = {}
 
 
-def _pool_init():
-    """Fork-pool worker setup.
-
-    * Die with the parent: workers block on the call queue and would
-      otherwise outlive a SIGTERM'd/killed CLI process as orphans
-      (PR_SET_PDEATHSIG = 1; Linux-only, a no-op elsewhere).
-    * Run OpenMP regions on the master thread only: libgomp's thread team
-      does not survive fork(), and a child entering a parallel region with
-      the inherited (now threadless) team state deadlocks on a futex.
-      With num_threads=1 the region executes inline without touching the
-      team.  Cross-batch process parallelism replaces the k-sweep threads.
-    """
-    import ctypes
-    import signal
-
-    try:
-        ctypes.CDLL(None).prctl(1, signal.SIGTERM)
-    except Exception:  # noqa: BLE001
-        pass
-    try:
-        ctypes.CDLL("libgomp.so.1").omp_set_num_threads(1)
-    except Exception:  # noqa: BLE001
-        pass
-
-
 def _pool_worker(records):
     return polish_batch_records(
         records, _POOL_STATE["builder"], _POOL_STATE["cfg"]
@@ -249,10 +224,12 @@ def run_bulk(cfg: PipelineConfig) -> dict:
 
             _POOL_STATE["builder"] = builder
             _POOL_STATE["cfg"] = cfg
+            from ..utils.procs import pool_worker_init
+
             executor = concurrent.futures.ProcessPoolExecutor(
                 max_workers=cfg.max_concurrent_batches,
                 mp_context=multiprocessing.get_context("fork"),
-                initializer=_pool_init,
+                initializer=pool_worker_init,
             )
 
             async def worker(batch: engine.Batch):

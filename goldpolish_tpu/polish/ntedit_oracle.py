@@ -25,6 +25,7 @@ fallback editor for tiny inputs.
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 from itertools import product
 
@@ -362,6 +363,45 @@ def _run_indel_trials(cfg: Config, draft_char: int, ci: int, num_deletions: int,
     return False, num_deletions
 
 
+_ACCEPT_TAB_NP = None
+
+
+def _accept_tab() -> np.ndarray:
+    """256-entry is_accepted(upper(c)) table shared with the native walk."""
+    global _ACCEPT_TAB_NP
+    if _ACCEPT_TAB_NP is None:
+        _ACCEPT_TAB_NP = np.array(
+            [1 if is_accepted(_upper(c)) else 0 for c in range(256)], np.uint8
+        )
+    return _ACCEPT_TAB_NP
+
+
+def _advance_n(pos: int, ni: int, m: int, new_seq) -> tuple[int, int]:
+    """Apply _Editor.increment m times in O(nodes-crossed), not O(m).
+
+    Exactly replicates the per-step semantics (ntedit.cpp:681-699),
+    including the stale-pos behaviour when the next node is a literal."""
+    L = len(new_seq)
+    while m > 0 and ni < L:
+        node = new_seq[ni]
+        if node.node_type == 0:
+            room = node.e_pos - pos
+            if m <= room:
+                return pos + m, ni
+            m -= room
+            pos = node.e_pos + 1  # the crossing increment
+            ni += 1
+            if ni < L and new_seq[ni].node_type == 0:
+                pos = new_seq[ni].s_pos
+            m -= 1
+        else:
+            ni += 1
+            if ni < L and new_seq[ni].node_type == 0:
+                pos = new_seq[ni].s_pos
+            m -= 1
+    return pos, ni
+
+
 class _Editor:
     """Per-contig editing state machine (reference kmerizeAndCorrect)."""
 
@@ -380,6 +420,19 @@ class _Editor:
         self.n_dels = 0
         self.n_masked = 0
         self.n_nofix = 0
+        # native bulk clean-run over present windows (the walk fast path);
+        # unavailable for SNV (no probes drive the walk) and secondary-BF
+        # modes (the bulk probe is primary-only).  GPTPU_NO_FASTWALK=1
+        # forces the scalar walk (used by the equivalence tests).
+        self._fast = None
+        if not (cfg.snv or self.secbf or os.environ.get("GPTPU_NO_FASTWALK")):
+            try:
+                from .. import native
+
+                native.lib()
+                self._fast = native.clean_run
+            except Exception:  # noqa: BLE001
+                self._fast = None
 
     # -- hash helpers ---------------------------------------------------------
     def _contains(self, hval) -> bool:
@@ -457,6 +510,30 @@ class _Editor:
             if node_index < len(new_seq) and new_seq[node_index].node_type == 0:
                 pos = new_seq[node_index].s_pos
         return pos, node_index
+
+    def _render_span(self, pos, ni, want, seq, new_seq) -> bytes:
+        """Materialize up to `want` effective-sequence bytes starting at the
+        rope cursor (pos, ni) — per-node slices, O(nodes) not O(chars)."""
+        out = bytearray()
+        L = len(new_seq)
+        while len(out) < want and ni < L:
+            node = new_seq[ni]
+            if node.node_type == 0:
+                stop = min(node.e_pos + 1, pos + (want - len(out)))
+                out += seq[pos:stop]
+                if len(out) >= want:
+                    break
+                ni += 1
+                if ni < L and new_seq[ni].node_type == 0:
+                    pos = new_seq[ni].s_pos
+            elif node.node_type == 1:
+                out.append(node.c)
+                ni += 1
+                if ni < L and new_seq[ni].node_type == 0:
+                    pos = new_seq[ni].s_pos
+            else:
+                break
+        return bytes(out)
 
     def roll(self, st, seq, new_seq):
         """Reference ntedit.cpp:939-969; st is a dict-like state with h/t
@@ -810,7 +887,44 @@ class _Editor:
                 return "end", st, fh, rh, char_in
             if exit_check is not None and exit_check(st):
                 return "clean", st, fh, rh, char_in
-            if cfg.snv or not self._probe_fr_primary(fh, rh):
+            missing = cfg.snv or not self._probe_fr_primary(fh, rh)
+            if not missing and self._fast is not None:
+                # Bulk-skip the run of present windows natively.  Caps keep
+                # the walk from crossing a state the scalar loop would have
+                # stopped at: h advances at most 1 per roll, so limiting the
+                # roll count by the h-distance to the boundary is safe even
+                # with literal nodes stalling h.
+                limit = (
+                    (self.dirty_end + 1 - st["h"])
+                    if exit_check is not None
+                    else (n - k - st["h"])
+                )
+                if limit > 4:
+                    if limit > 2048:
+                        limit = 2048
+                    seg = self._render_span(
+                        st["h"], st["hn"], limit + k, seq, new_seq
+                    )
+                    if len(seg) > k:
+                        m, fh2, rh2, miss = self._fast(
+                            seg, k, cfg.h, self.bloom, _accept_tab(),
+                            fh, rh, limit,
+                        )
+                        if m:
+                            st["h"], st["hn"] = _advance_n(
+                                st["h"], st["hn"], m, new_seq
+                            )
+                            st["t"], st["tn"] = _advance_n(
+                                st["t"], st["tn"], m, new_seq
+                            )
+                            fh, rh = fh2, rh2
+                            char_in = seg[m + k - 1]
+                            if miss:
+                                # state is AT the missing window; re-enter
+                                # the loop without rolling past it
+                                first = True
+                            continue
+            if missing:
                 tmp = dict(st)
                 tfh, trh = fh, rh
                 draft_char = _upper(char_in)

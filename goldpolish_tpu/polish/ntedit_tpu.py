@@ -183,6 +183,32 @@ class ScanMasks:
     w0: int
 
 
+@dataclass
+class EditStats:
+    """Picklable summary returned by polish_many's fork-pool path (the full
+    editor object — rope nodes etc. — stays in the worker process)."""
+
+    n_subs: int
+    n_ins: int
+    n_dels: int
+    n_masked: int
+
+
+# fork-pool state for polish_many(processes=N): COW-inherited by workers
+_PM_STATE: dict = {}
+
+
+def _pm_worker(i: int):
+    eng = _PM_STATE.get("eng")
+    if eng is None:
+        eng = NtEditTPU(_PM_STATE["cfg"], _PM_STATE["bf"], backend="numpy")
+        _PM_STATE["eng"] = eng
+    out, recs, ed = eng.polish_contig(
+        _PM_STATE["seqs"][i], present=_PM_STATE["presents"].get(i)
+    )
+    return out, recs, EditStats(ed.n_subs, ed.n_ins, ed.n_dels, ed.n_masked)
+
+
 class NtEditTPU:
     """Batched two-phase editor.
 
@@ -316,7 +342,7 @@ class NtEditTPU:
         return ScanMasks(present=present, hot=hot, w0=w0)
 
     # -- phase B --------------------------------------------------------------
-    def polish_many(self, seqs: list[bytes]):
+    def polish_many(self, seqs: list[bytes], processes: int = 0):
         """Polish a batch of contigs with shared device work.
 
         On the jax backend, the dense present[] probes of same-bucket
@@ -324,6 +350,12 @@ class NtEditTPU:
         batch parallelism, SPMD-style); the sparse commit walks follow
         per contig.  Returns a list of (edited, records, editor) triples in
         input order.
+
+        processes > 1 runs the per-contig commit walks in a fork pool
+        (copy-on-write sharing of the Bloom filter and precomputed presents;
+        workers use the numpy backend — they must not touch jax).  The third
+        triple element is then a lightweight EditStats instead of the
+        editor object.
         """
         presents: dict[int, np.ndarray] = {}
         if self._jax is not None and len(seqs) > 1:
@@ -351,6 +383,23 @@ class NtEditTPU:
                 )
                 for row, i in enumerate(idxs):
                     presents[i] = pres[row, : len(seqs[i]) - k + 1].astype(bool)
+        if processes > 1 and len(seqs) > 1:
+            import concurrent.futures
+            import multiprocessing
+
+            from ..utils.procs import pool_worker_init
+
+            _PM_STATE["cfg"] = self.cfg
+            _PM_STATE["bf"] = self.bf
+            _PM_STATE["seqs"] = seqs
+            _PM_STATE["presents"] = presents
+            _PM_STATE.pop("eng", None)
+            with concurrent.futures.ProcessPoolExecutor(
+                max_workers=min(processes, len(seqs)),
+                mp_context=multiprocessing.get_context("fork"),
+                initializer=pool_worker_init,
+            ) as ex:
+                return list(ex.map(_pm_worker, range(len(seqs))))
         return [
             self.polish_contig(s, present=presents.get(i))
             for i, s in enumerate(seqs)

@@ -240,3 +240,80 @@ def test_hybrid_backend_matches():
     out_n, recs_n, _ = NtEditTPU(cfg, bf, backend="numpy").polish_contig(draft)
     out_h, recs_h, _ = NtEditTPU(cfg, bf, backend="hybrid").polish_contig(draft)
     assert out_h == out_n and recs_h == recs_n
+
+
+def test_polish_many_processes_matches():
+    """Fork-pool commit walks produce identical output + records; the third
+    element degrades to a picklable EditStats with matching counters."""
+    rng = np.random.default_rng(61)
+    truth = _genome(rng, 2500)
+    bf = _bf_from(truth)
+    cfg = ne.Config(**CFG)
+    seqs = [
+        _mutate(np.random.default_rng(70 + i), truth, 6, "sid").encode()
+        for i in range(5)
+    ]
+    eng = NtEditTPU(cfg, bf, backend="jax")
+    base = eng.polish_many(seqs)
+    pooled = eng.polish_many(seqs, processes=3)
+    for (out_b, recs_b, ed_b), (out_p, recs_p, st_p) in zip(base, pooled):
+        assert out_p == out_b and recs_p == recs_b
+        assert (st_p.n_subs, st_p.n_ins, st_p.n_dels, st_p.n_masked) == (
+            ed_b.n_subs, ed_b.n_ins, ed_b.n_dels, ed_b.n_masked
+        )
+
+
+def test_fastwalk_off_matches(monkeypatch):
+    """The native bulk clean-run must be a pure optimization: output with
+    GPTPU_NO_FASTWALK=1 (scalar walk) is byte-identical, for both the
+    engine and the raw oracle.  Guards against a shared fast-path bug
+    cancelling out in the engine-vs-oracle differentials."""
+    for seed in range(80, 88):
+        rng = np.random.default_rng(seed)
+        n = int(rng.integers(600, 3000))
+        truth = _genome(rng, n)
+        bf = _bf_from(truth, bytes_size=1 << int(rng.integers(13, 18)))
+        n_err = int(rng.integers(0, max(2, n // 120)))
+        kinds = rng.choice(["s", "si", "sd", "sid", "i", "d"])
+        draft = (_mutate(rng, truth, n_err, kinds) if n_err else truth).encode()
+        cfg = ne.Config(
+            k=K, h=H, use_ratio=True,
+            mode=int(rng.choice([0, 1])), mask=int(rng.integers(2)),
+        )
+        fast_o = ne.polish_contig(draft, bf, cfg)
+        fast_e = NtEditTPU(cfg, bf, backend="numpy").polish_contig(draft)
+        monkeypatch.setenv("GPTPU_NO_FASTWALK", "1")
+        slow_o = ne.polish_contig(draft, bf, cfg)
+        slow_e = NtEditTPU(cfg, bf, backend="numpy").polish_contig(draft)
+        monkeypatch.delenv("GPTPU_NO_FASTWALK")
+        assert fast_o[0] == slow_o[0] and fast_o[1] == slow_o[1], seed
+        assert fast_e[0] == slow_e[0] and fast_e[1] == slow_e[1], seed
+
+
+def test_advance_n_matches_increment():
+    """_advance_n == m sequential increments on randomized ropes."""
+    from goldpolish_tpu.polish.ntedit_oracle import Node, _Editor, _advance_n
+
+    rng = np.random.default_rng(5)
+    for trial in range(200):
+        # random rope: draft spans interleaved with literal nodes
+        rope = []
+        p = 0
+        for _ in range(int(rng.integers(1, 6))):
+            span = int(rng.integers(1, 30))
+            rope.append(Node(0, p, p + span - 1, 0, 0))
+            p += span
+            if rng.integers(2):
+                for _ in range(int(rng.integers(1, 3))):
+                    rope.append(Node(1, 0, 0, ord("A"), 0))
+        pos, ni = rope[0].s_pos, 0
+        m = int(rng.integers(0, p + 5))
+        want = (pos, ni)
+        steps = 0
+        for _ in range(m):
+            if want[1] >= len(rope):  # roll() guards this before increment
+                break
+            want = _Editor.increment(want[0], want[1], rope)
+            steps += 1
+        got = _advance_n(pos, ni, steps, rope)
+        assert got == want, (trial, m)
