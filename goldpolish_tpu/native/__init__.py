@@ -249,3 +249,22 @@ def clean_run(seg: bytes, k: int, hash_num: int, bf, accept_tab: np.ndarray,
         ctypes.byref(fh_out), ctypes.byref(rh_out), ctypes.byref(miss),
     )
     return int(m), int(fh_out.value), int(rh_out.value), bool(miss.value)
+
+
+def seed_window(seq, start: int, k: int) -> tuple[int, int]:
+    """(fh, rh) of the k-window at seq[start:start+k] (scalar ntc64_base)."""
+    L = lib()
+    if not hasattr(L, "gp_seed_window_configured"):
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        u64p = ctypes.POINTER(ctypes.c_uint64)
+        L.gp_seed_window.argtypes = [u8p, ctypes.c_uint32, u64p, u64p]
+        L.gp_seed_window.restype = None
+        L.gp_seed_window_configured = True
+    fh = ctypes.c_uint64()
+    rh = ctypes.c_uint64()
+    buf = (ctypes.c_uint8 * k).from_buffer_copy(bytes(seq[start : start + k]))
+    L.gp_seed_window(
+        ctypes.cast(buf, ctypes.POINTER(ctypes.c_uint8)), k,
+        ctypes.byref(fh), ctypes.byref(rh),
+    )
+    return int(fh.value), int(rh.value)

@@ -496,4 +496,15 @@ int64_t gp_clean_run(
   return m;
 }
 
+// Seed the forward/reverse rolling-hash state of one k-window (the scalar
+// ntc64_base recurrence, nthash.hpp) — used by the engine when re-anchoring
+// the walk at a hot site.
+void gp_seed_window(const uint8_t* buf, uint32_t k,
+                    uint64_t* fh_out, uint64_t* rh_out) {
+  RollState st;
+  st.seed(buf, k);
+  *fh_out = st.fh;
+  *rh_out = st.rh;
+}
+
 }  // extern "C"

@@ -40,6 +40,7 @@ scan and resumes jumping once the window is past `dirty_end` and literal-free.
 from __future__ import annotations
 
 from dataclasses import dataclass
+from functools import lru_cache
 
 import numpy as np
 
@@ -61,6 +62,17 @@ from .ntedit_oracle import (
 )
 
 TIER0_COMBOS = 21  # insertion combos of length <= 3; escalate to 341 on demand
+
+
+def _seed(seq, start: int, k: int) -> tuple[int, int]:
+    """Window (fh, rh) via the native seeder when available (the Python
+    scalar recurrence costs ~64 bigint rotations per call)."""
+    try:
+        from .. import native
+
+        return native.seed_window(seq, start, k)
+    except Exception:  # noqa: BLE001
+        return nt.ntc64_base_i(seq, start, k)
 
 _ACCEPTED_LUT = np.zeros(256, bool)
 for _c in b"ATGCRYSWKMBDHV":
@@ -101,6 +113,31 @@ class _TableProvider:
         return bytes(self.draft[self.p : self.p + d])
 
 
+@lru_cache(maxsize=64)
+def _interleave_pattern(n_combos: int, n_dels: int, num_deletions: int):
+    """Index arrays for the ins(0), del(d0), ins(1), del(d0+1), ... trial
+    order — computed once per shape instead of a 341-iteration Python loop
+    per site."""
+    seq_len = n_combos + n_dels
+    ins_pos = np.empty(n_combos, np.int64)
+    del_pos = np.empty(n_dels, np.int64)
+    is_del = np.zeros(seq_len, bool)
+    payload = np.empty(seq_len, np.int32)
+    pos = 0
+    di = 0
+    for i in range(n_combos):
+        ins_pos[i] = pos
+        payload[pos] = i
+        pos += 1
+        if di < n_dels:
+            del_pos[di] = pos
+            is_del[pos] = True
+            payload[pos] = num_deletions + di
+            pos += 1
+            di += 1
+    return ins_pos, del_pos, is_del, payload
+
+
 def _engine_run_trials(cfg: Config, draft_char: int, provider: "_TableProvider"):
     """Mode-1 fast path of ntedit_oracle.run_trials.
 
@@ -134,23 +171,12 @@ def _engine_run_trials(cfg: Config, draft_char: int, provider: "_TableProvider")
         ins_vals = sup.ins_support[si, ci, :n_combos]
         n_dels = max(0, min(n_combos, cfg.max_deletions - num_deletions + 1))
         del_vals = sup.del_support[si, num_deletions - 1 : num_deletions - 1 + n_dels]
-        seq_len = n_combos + n_dels
-        vals = np.empty(seq_len, np.int32)
-        is_del = np.zeros(seq_len, bool)
-        payload = np.empty(seq_len, np.int32)
-        # interleave: positions 0,2,4,... for ins while dels remain
-        pos = 0
-        di = 0
-        for i in range(n_combos):
-            vals[pos] = ins_vals[i]
-            payload[pos] = i
-            pos += 1
-            if di < n_dels:
-                vals[pos] = del_vals[di]
-                is_del[pos] = True
-                payload[pos] = num_deletions + di
-                pos += 1
-                di += 1
+        ins_pos, del_pos, is_del, payload = _interleave_pattern(
+            n_combos, n_dels, num_deletions
+        )
+        vals = np.empty(n_combos + n_dels, np.int32)
+        vals[ins_pos] = ins_vals
+        vals[del_pos] = del_vals
         num_deletions += n_dels
         # deletions additionally require a positive raw count (the accepted
         # tryDeletion result is then tested > 0, run_trials)
@@ -449,7 +475,7 @@ class NtEditTPU:
         if cfg.mode == 0:
             batch_n, tier_combos = 64, TIER0_COMBOS
         else:
-            batch_n = 256 if self._jax is not None else 16
+            batch_n = 256 if self._jax is not None else 64
             tier_combos = self.tables.n_combos
         site_cache: dict[int, tuple[siteeval.SiteSupports, int]] = {}
 
@@ -486,7 +512,7 @@ class NtEditTPU:
                 break
             # reseed the exact scan state at this pure-draft window
             st = {"h": w_h, "t": w_h + k - 1, "hn": trailing, "tn": trailing}
-            fh, rh = nt.ntc64_base_i(seq, w_h, k)
+            fh, rh = _seed(seq, w_h, k)
             char_in = seq[st["t"]]
             draft_char = _upper(char_in)
             mode2 = cfg.mode == 2
