@@ -1,0 +1,63 @@
+"""Standalone tool CLIs (tools.bf / tools.ntedit / tools.sealer) — the
+reference's per-stage binaries (SURVEY.md section 2: goldpolish-targeted-bfs,
+ntedit-gr, sealer-gr) recomposed end-to-end."""
+
+import numpy as np
+
+from goldpolish_tpu.io import fasta
+from goldpolish_tpu.tools import bf as bf_tool
+from goldpolish_tpu.tools import ntedit as ntedit_tool
+from goldpolish_tpu.tools import sealer as sealer_tool
+
+
+def _fixture(tmp_path):
+    rng = np.random.default_rng(11)
+    truth = "".join(rng.choice(list("ACGT")) for _ in range(6000))
+    d = list(truth)
+    for p in range(200, 5800, 500):
+        d[p] = "ACGT"[("ACGT".index(d[p]) + 1) % 4]
+    gap = list(truth)
+    for p in range(3000, 3080):
+        gap[p] = gap[p].lower()
+    reads = str(tmp_path / "reads.fa")
+    with open(reads, "w") as f:
+        for rep in range(6):
+            for s in range(0, 6000, 1000):
+                f.write(f">r{rep}_{s}\n{truth[s:s+2000]}\n")
+    draft = str(tmp_path / "draft.fa")
+    open(draft, "w").write(f">c1\n{''.join(d)}\n")
+    gapped = str(tmp_path / "gapped.fa")
+    open(gapped, "w").write(f">g1\n{''.join(gap)}\n")
+    return truth, reads, draft, gapped
+
+
+def test_bf_ntedit_sealer_chain(tmp_path):
+    truth, reads, draft, gapped = _fixture(tmp_path)
+    prefix = str(tmp_path / "f")
+    bf_tool.main([reads, "-k32", "-k28", "-o", prefix])
+    polished = str(tmp_path / "polished.fa")
+    changes = str(tmp_path / "ch.tsv")
+    ntedit_tool.main([draft, f"{prefix}-k32.bf", polished,
+                      "--changes", changes])
+    out = next(iter(fasta.read_seqs(polished))).seq
+    assert out.upper() == truth
+    assert sum(1 for _ in open(changes)) == 12 + 1  # header + 12 subs
+    sealed_path = str(tmp_path / "sealed.fa")
+    trace = str(tmp_path / "trace.tsv")
+    sealer_tool.main([gapped, sealed_path, "--bf", f"{prefix}-k32.bf",
+                      "--bf", f"{prefix}-k28.bf", "--lower",
+                      "--trace", trace])
+    sealed = next(iter(fasta.read_seqs(sealed_path))).seq
+    assert sealed.upper() == truth
+    assert sum(1 for _ in open(trace)) >= 2  # header + the closed gap
+
+
+def test_ntedit_tool_threshold_mode(tmp_path):
+    truth, reads, draft, _ = _fixture(tmp_path)
+    prefix = str(tmp_path / "f")
+    bf_tool.main([reads, "-k32", "-o", prefix])
+    out_path = str(tmp_path / "p.fa")
+    ntedit_tool.main([draft, f"{prefix}-k32.bf", out_path,
+                      "-x", "5.0", "-y", "9.0"])
+    out = next(iter(fasta.read_seqs(out_path))).seq
+    assert out.upper() == truth
