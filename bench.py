@@ -149,8 +149,9 @@ def main():
     }
     print(json.dumps(result))
     print(
-        f"# platform={platform} backend={backend} n={n_bases} "
-        f"contigs={len(drafts)} procs={procs} "
+        f"# platform={platform} backend={backend} "
+        f"scan={'device' if getattr(eng, '_jax', None) is not None else 'host'} "
+        f"n={n_bases} contigs={len(drafts)} procs={procs} "
         f"errors={n_err} fixed: s{n_subs} i{n_ins} d{n_dels} "
         f"recovered={recovered} residual~{residual} polish_s={dt:.2f} bf_build_s={bf_build_s:.2f}",
         file=sys.stderr,

@@ -99,7 +99,12 @@ class BloomFilter:
     @classmethod
     def load(cls, path: str) -> "BloomFilter":
         with open(path, "rb") as f:
-            header = json.loads(f.readline().decode())
+            try:
+                header = json.loads(f.readline().decode())
+            except (json.JSONDecodeError, UnicodeDecodeError) as e:
+                raise ValueError(
+                    f"{path}: not a {_MAGIC} Bloom filter file (bad header)"
+                ) from e
             if header.get("magic") != _MAGIC or header.get("type") != "bf":
                 raise ValueError(f"{path}: not a {_MAGIC} Bloom filter file")
             bf = cls(header["bytes"], header["hash_num"], header["k"])

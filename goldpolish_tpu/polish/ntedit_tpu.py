@@ -272,6 +272,55 @@ class NtEditTPU:
                 from ..ops import bloom_pallas
 
                 self._mxu_planes = bloom_pallas.words_to_planes(self._words)
+            if backend == "hybrid" and not _os.environ.get(
+                "GPTPU_FORCE_DEVICE_SCAN"
+            ):
+                self._maybe_demote_device_scan()
+
+    def _maybe_demote_device_scan(self) -> None:
+        """Adaptive placement: route the dense scan to the device only when
+        the host<->device link is fast enough to pay for itself.
+
+        A tunneled/remote chip (dev-box setups) has round trips of 50ms+,
+        which dwarfs the native host scan of a whole contig; a co-located
+        TPU answers in ~1ms.  Probe with a tiny fixed-shape scan (cached by
+        the persistent compilation cache) and fall back to the host scan
+        path when the measured round trip says the link dominates.
+        GPTPU_FORCE_DEVICE_SCAN=1 skips the demotion."""
+        import time as _time
+
+        try:
+            from .. import native  # noqa: F401  (host fallback must exist)
+
+            native.lib()
+        except Exception:  # noqa: BLE001 — no native scan: keep the device
+            return
+        try:
+            bloom_jax, _ = self._jax
+            import jax.numpy as jnp
+
+            tiny = jnp.zeros(256, jnp.uint8)
+            # first call may compile (or hit the persistent cache)
+            np.asarray(
+                bloom_jax.probe_kmers_packed_jit(
+                    self._words, int(self.bf.bits), self.cfg.h, self.cfg.k,
+                    tiny,
+                )
+            )
+            t0 = _time.perf_counter()
+            np.asarray(
+                bloom_jax.probe_kmers_packed_jit(
+                    self._words, int(self.bf.bits), self.cfg.h, self.cfg.k,
+                    tiny,
+                )
+            )
+            rtt = _time.perf_counter() - t0
+        except Exception:  # noqa: BLE001 — device probe failed: host scan
+            self._jax = None
+            return
+        if rtt > 0.030:  # link-dominated: host native scan wins
+            self._jax = None
+            self._mxu_planes = None
 
     # -- phase A --------------------------------------------------------------
     def _probe_all(self, codes: np.ndarray) -> np.ndarray:

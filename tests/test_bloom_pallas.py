@@ -108,6 +108,8 @@ def test_mxu_scan_path_env_gate(monkeypatch):
     cfg = ne.Config(k=32, h=4, use_ratio=True)
     base_out, base_recs, _ = NtEditTPU(cfg, bf, backend="numpy").polish_contig(bytes(d))
     monkeypatch.setenv("GPTPU_MXU_PROBE", "1")
+    # interpret-mode probes are slow; keep adaptive placement from demoting
+    monkeypatch.setenv("GPTPU_FORCE_DEVICE_SCAN", "1")
     # pallas interpret mode on CPU for the kernel under test
     from jax.experimental.pallas import tpu as pltpu
 

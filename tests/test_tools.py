@@ -61,3 +61,22 @@ def test_ntedit_tool_threshold_mode(tmp_path):
                       "-x", "5.0", "-y", "9.0"])
     out = next(iter(fasta.read_seqs(out_path))).seq
     assert out.upper() == truth
+
+
+def test_mask_and_to_upper_tools(tmp_path):
+    from goldpolish_tpu.tools import mask as mask_tool
+    from goldpolish_tpu.tools import to_upper as upper_tool
+
+    src = str(tmp_path / "in.fa")
+    # a short uppercase island between soft-masked runs gets masked too
+    open(src, "w").write(
+        ">x\n" + "A" * 40 + "acgta" + "CGT" + "acgta" + "A" * 40 + "\n"
+    )
+    masked = str(tmp_path / "m.fa")
+    mask_tool.main([src, masked, "-k", "32"])
+    m = next(iter(fasta.read_seqs(masked))).seq
+    assert "cgt" in m and "CGT" not in m
+    upped = str(tmp_path / "u.fa")
+    upper_tool.main([masked, upped])
+    u = next(iter(fasta.read_seqs(upped))).seq
+    assert u == u.upper()
