@@ -229,10 +229,44 @@ def _pm_worker(i: int):
     if eng is None:
         eng = NtEditTPU(_PM_STATE["cfg"], _PM_STATE["bf"], backend="numpy")
         _PM_STATE["eng"] = eng
-    out, recs, ed = eng.polish_contig(
-        _PM_STATE["seqs"][i], present=_PM_STATE["presents"].get(i)
-    )
+    _ci, _start, seq, pres = _PM_STATE["items"][i]
+    out, recs, ed = eng.polish_contig(seq, present=pres)
     return out, recs, EditStats(ed.n_subs, ed.n_ins, ed.n_dels, ed.n_masked)
+
+
+def _find_cuts(present: np.ndarray, k: int, n: int, n_pieces: int) -> list[int]:
+    """Byte positions where a contig may be split for independent polishing.
+
+    A cut is valid when the 4k windows around it all probe present: clean
+    regions are provably edit-free (see the module docstring's
+    fast-forward argument), no hot site or dirty zone can reach across the
+    cut, and end-of-contig special cases only fire on windows that make no
+    decisions there — so slices polish byte-identically to the whole.
+    Targets are evenly spaced; each slides outward until it lands on a
+    clean stretch (a target stuck in a dirty neighbourhood is dropped).
+    """
+    ps = np.concatenate([[0], np.cumsum(present.astype(np.int64))])
+    n_win = len(present)
+
+    def clean(a: int, b: int) -> bool:
+        a, b = max(a, 0), min(b, n_win)
+        return b > a and int(ps[b] - ps[a]) == b - a
+
+    margin = 2 * k
+    cuts: list[int] = []
+    for p in range(1, n_pieces):
+        t = p * n // n_pieces
+        found = -1
+        for off in range(0, max(64, n // (4 * n_pieces)), 64):
+            for c in (t - off, t + off):
+                if margin < c < n - margin and clean(c - margin, c + margin):
+                    found = c
+                    break
+            if found >= 0:
+                break
+        if found >= 0 and (not cuts or found - cuts[-1] > 4 * margin):
+            cuts.append(found)
+    return cuts
 
 
 class NtEditTPU:
@@ -323,6 +357,17 @@ class NtEditTPU:
             self._mxu_planes = None
 
     # -- phase A --------------------------------------------------------------
+    def _present_host(self, codes: np.ndarray) -> np.ndarray:
+        """Host-side dense scan (native when available)."""
+        k, h = self.cfg.k, self.cfg.h
+        try:
+            from .. import native
+
+            return native.bf_contains(self.bf, native.nthash_all(codes, k, h))
+        except Exception:  # noqa: BLE001
+            base = nt.canonical_hashes(codes, k)
+            return self.bf.contains(nt.multi_hashes(base, k, h))
+
     def _probe_all(self, codes: np.ndarray) -> np.ndarray:
         k, h = self.cfg.k, self.cfg.h
         if self._jax is not None:
@@ -417,7 +462,8 @@ class NtEditTPU:
         return ScanMasks(present=present, hot=hot, w0=w0)
 
     # -- phase B --------------------------------------------------------------
-    def polish_many(self, seqs: list[bytes], processes: int = 0):
+    def polish_many(self, seqs: list[bytes], processes: int = 0,
+                    shard_bases: int = 1_000_000):
         """Polish a batch of contigs with shared device work.
 
         On the jax backend, the dense present[] probes of same-bucket
@@ -426,11 +472,13 @@ class NtEditTPU:
         per contig.  Returns a list of (edited, records, editor) triples in
         input order.
 
-        processes > 1 runs the per-contig commit walks in a fork pool
-        (copy-on-write sharing of the Bloom filter and precomputed presents;
-        workers use the numpy backend — they must not touch jax).  The third
-        triple element is then a lightweight EditStats instead of the
-        editor object.
+        processes > 1 runs the commit walks in a fork pool (copy-on-write
+        sharing of the Bloom filter and precomputed presents; workers use
+        the numpy backend — they must not touch jax).  Contigs longer than
+        shard_bases additionally split into independent slices at clean
+        cut points (_find_cuts) so one giant contig still uses every core;
+        reassembly is byte-exact.  The third triple element is then a
+        lightweight EditStats instead of the editor object.
         """
         presents: dict[int, np.ndarray] = {}
         if self._jax is not None and len(seqs) > 1:
@@ -458,23 +506,68 @@ class NtEditTPU:
                 )
                 for row, i in enumerate(idxs):
                     presents[i] = pres[row, : len(seqs[i]) - k + 1].astype(bool)
-        if processes > 1 and len(seqs) > 1:
-            import concurrent.futures
-            import multiprocessing
+        if processes > 1:
+            k = self.cfg.k
+            # work items: whole contigs, plus slices of contigs long enough
+            # to shard (cut points sit mid-clean-run; see _find_cuts)
+            items: list[tuple[int, int, bytes, np.ndarray | None]] = []
+            for i, s in enumerate(seqs):
+                pieces = min(processes, max(1, -(-len(s) // shard_bases)))
+                if pieces > 1:
+                    pres = presents.get(i)
+                    if pres is None and len(s) >= k:
+                        pres = self._present_host(np.frombuffer(s, np.uint8))
+                    cuts = (
+                        _find_cuts(pres, k, len(s), pieces)
+                        if pres is not None else []
+                    )
+                    bounds = [0, *cuts, len(s)]
+                    for a, b in zip(bounds[:-1], bounds[1:]):
+                        items.append(
+                            (i, a, s[a:b],
+                             None if pres is None else pres[a : b - k + 1])
+                        )
+                else:
+                    items.append((i, 0, s, presents.get(i)))
+            if len(items) > 1:
+                import concurrent.futures
+                import multiprocessing
 
-            from ..utils.procs import pool_worker_init
+                from ..utils.procs import pool_worker_init
 
-            _PM_STATE["cfg"] = self.cfg
-            _PM_STATE["bf"] = self.bf
-            _PM_STATE["seqs"] = seqs
-            _PM_STATE["presents"] = presents
-            _PM_STATE.pop("eng", None)
-            with concurrent.futures.ProcessPoolExecutor(
-                max_workers=min(processes, len(seqs)),
-                mp_context=multiprocessing.get_context("fork"),
-                initializer=pool_worker_init,
-            ) as ex:
-                return list(ex.map(_pm_worker, range(len(seqs))))
+                _PM_STATE["cfg"] = self.cfg
+                _PM_STATE["bf"] = self.bf
+                _PM_STATE["items"] = items
+                _PM_STATE.pop("eng", None)
+                with concurrent.futures.ProcessPoolExecutor(
+                    max_workers=min(processes, len(items)),
+                    mp_context=multiprocessing.get_context("fork"),
+                    initializer=pool_worker_init,
+                ) as ex:
+                    pieces_out = list(ex.map(_pm_worker, range(len(items))))
+                # reassemble slices (in order) back into contigs
+                results: list = []
+                for i in range(len(seqs)):
+                    mine = [
+                        (it, out) for it, out in zip(items, pieces_out)
+                        if it[0] == i
+                    ]
+                    out_b = b"".join(o[0] for _it, o in mine)
+                    recs: list[dict] = []
+                    stats = EditStats(0, 0, 0, 0)
+                    for (_ci, start, _s, _p), (_o, r, st) in mine:
+                        for rec in r:
+                            rec = dict(rec)
+                            rec["pos"] += start
+                            recs.append(rec)
+                        stats = EditStats(
+                            stats.n_subs + st.n_subs,
+                            stats.n_ins + st.n_ins,
+                            stats.n_dels + st.n_dels,
+                            stats.n_masked + st.n_masked,
+                        )
+                    results.append((out_b, recs, stats))
+                return results
         return [
             self.polish_contig(s, present=presents.get(i))
             for i, s in enumerate(seqs)

@@ -317,3 +317,55 @@ def test_advance_n_matches_increment():
             steps += 1
         got = _advance_n(pos, ni, steps, rope)
         assert got == want, (trial, m)
+
+
+def test_polish_many_sharded_matches():
+    """A long contig split at clean cut points polishes byte-identically
+    (and records carry global positions)."""
+    rng = np.random.default_rng(91)
+    truth = _genome(rng, 60_000)
+    bf = _bf_from(truth, bytes_size=1 << 18)
+    cfg = ne.Config(**CFG, mode=1, mask=1)
+    d = list(truth)
+    for p in range(500, 59_000, 2_111):
+        d[p] = "ACGT"[("ACGT".index(d[p]) + 1) % 4]
+    # an insertion and a deletion so coordinates shift inside slices
+    d.insert(20_000, "T")
+    del d[40_000]
+    draft = "".join(d).encode()
+    eng = NtEditTPU(cfg, bf, backend="numpy")
+    base_out, base_recs, base_ed = eng.polish_contig(draft)
+    out, recs, st = eng.polish_many([draft], processes=3, shard_bases=15_000)[0]
+    assert out == base_out
+    assert recs == base_recs
+    assert (st.n_subs, st.n_ins, st.n_dels, st.n_masked) == (
+        base_ed.n_subs, base_ed.n_ins, base_ed.n_dels, base_ed.n_masked
+    )
+
+
+def test_find_cuts_avoids_dirty_zones():
+    from goldpolish_tpu.polish.ntedit_tpu import _find_cuts
+
+    present = np.ones(10_000, bool)
+    present[4_950:5_050] = False  # dirty neighbourhood at the midpoint
+    cuts = _find_cuts(present, 32, 10_031, 2)
+    assert cuts, "a clean cut must exist away from the dirty zone"
+    for c in cuts:
+        assert present[c - 64 : c + 64].all()
+
+
+def test_polish_many_sharded_fuzz():
+    for seed in (101, 102, 103):
+        rng = np.random.default_rng(seed)
+        n = int(rng.integers(20_000, 50_000))
+        truth = _genome(rng, n)
+        bf = _bf_from(truth, bytes_size=1 << 18)
+        kinds = rng.choice(["s", "si", "sd", "sid"])
+        draft = _mutate(rng, truth, n // 900, kinds).encode()
+        cfg = ne.Config(**CFG, mode=1, mask=1)
+        eng = NtEditTPU(cfg, bf, backend="numpy")
+        base_out, base_recs, _ = eng.polish_contig(draft)
+        out, recs, _ = eng.polish_many(
+            [draft], processes=4, shard_bases=8_000
+        )[0]
+        assert out == base_out and recs == base_recs, seed
