@@ -217,18 +217,24 @@ def eval_sites(seq_codes: np.ndarray, sites: np.ndarray, bf, tables, hash_num: i
     )
 
 
+_CLEAN_RUN_OUT: list | None = None
+
+
 def clean_run(seg: bytes, k: int, hash_num: int, bf, accept_tab: np.ndarray,
               fh: int, rh: int, max_steps: int):
     """Bulk clean-run of the editing walk (see gp_clean_run).
 
     Returns (m, fh, rh, stopped_missing): m rolls performed from the window
-    with hashes (fh, rh) over seg; hashes are the state after m rolls."""
+    with hashes (fh, rh) over seg; hashes are the state after m rolls.
+    Hot path: the segment passes zero-copy as c_char_p (C reads only) and
+    the out-params are reused across calls (single-threaded walk)."""
+    global _CLEAN_RUN_OUT
     L = lib()
     if not hasattr(L, "gp_clean_run_configured"):
         u8p = ctypes.POINTER(ctypes.c_uint8)
         u64p = ctypes.POINTER(ctypes.c_uint64)
         L.gp_clean_run.argtypes = [
-            u8p, ctypes.c_int64, ctypes.c_uint32, ctypes.c_uint32,
+            ctypes.c_char_p, ctypes.c_int64, ctypes.c_uint32, ctypes.c_uint32,
             u8p, ctypes.c_uint64,
             u8p,
             ctypes.c_uint64, ctypes.c_uint64, ctypes.c_int64,
@@ -236,17 +242,21 @@ def clean_run(seg: bytes, k: int, hash_num: int, bf, accept_tab: np.ndarray,
         ]
         L.gp_clean_run.restype = ctypes.c_int64
         L.gp_clean_run_configured = True
-    fh_out = ctypes.c_uint64()
-    rh_out = ctypes.c_uint64()
-    miss = ctypes.c_int32()
-    seg_arr = (ctypes.c_uint8 * len(seg)).from_buffer_copy(seg)
+    if _CLEAN_RUN_OUT is None:
+        _CLEAN_RUN_OUT = [
+            ctypes.c_uint64(), ctypes.c_uint64(), ctypes.c_int32(),
+            None, None, None,
+        ]
+        _CLEAN_RUN_OUT[3] = ctypes.byref(_CLEAN_RUN_OUT[0])
+        _CLEAN_RUN_OUT[4] = ctypes.byref(_CLEAN_RUN_OUT[1])
+        _CLEAN_RUN_OUT[5] = ctypes.byref(_CLEAN_RUN_OUT[2])
+    fh_out, rh_out, miss, fh_ref, rh_ref, miss_ref = _CLEAN_RUN_OUT
     m = L.gp_clean_run(
-        ctypes.cast(seg_arr, ctypes.POINTER(ctypes.c_uint8)), len(seg),
-        k, hash_num,
+        seg, len(seg), k, hash_num,
         _u8ptr(bf.array), bf.bytes,
         accept_tab.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         fh, rh, max_steps,
-        ctypes.byref(fh_out), ctypes.byref(rh_out), ctypes.byref(miss),
+        fh_ref, rh_ref, miss_ref,
     )
     return int(m), int(fh_out.value), int(rh_out.value), bool(miss.value)
 
