@@ -313,18 +313,21 @@ class NtEditTPU:
 
     def _maybe_demote_device_scan(self) -> None:
         """Adaptive placement: route the dense scan to the device only when
-        the host<->device link is fast enough to pay for itself.
+        it beats the host native scan end-to-end.
 
-        A tunneled/remote chip (dev-box setups) has round trips of 50ms+,
-        which dwarfs the native host scan of a whole contig; a co-located
-        TPU answers in ~1ms.  Probe with a tiny fixed-shape scan (cached by
-        the persistent compilation cache) and fall back to the host scan
-        path when the measured round trip says the link dominates.
-        GPTPU_FORCE_DEVICE_SCAN=1 skips the demotion."""
+        A tunneled/remote chip (dev-box setups) pays both a round-trip
+        latency and a per-byte transfer cost that a co-located TPU does
+        not.  Measure the device scan at two sizes (second calls, so the
+        persistent compilation cache absorbs the compile), fit
+        t(n) = a + b*n, measure the host native scan once, and fall back
+        to the host path when the extrapolated device time at a
+        representative contig size loses.  GPTPU_FORCE_DEVICE_SCAN=1
+        skips the demotion."""
         import time as _time
 
+        k, h = self.cfg.k, self.cfg.h
         try:
-            from .. import native  # noqa: F401  (host fallback must exist)
+            from .. import native
 
             native.lib()
         except Exception:  # noqa: BLE001 — no native scan: keep the device
@@ -333,26 +336,28 @@ class NtEditTPU:
             bloom_jax, _ = self._jax
             import jax.numpy as jnp
 
-            tiny = jnp.zeros(256, jnp.uint8)
-            # first call may compile (or hit the persistent cache)
-            np.asarray(
-                bloom_jax.probe_kmers_packed_jit(
-                    self._words, int(self.bf.bits), self.cfg.h, self.cfg.k,
-                    tiny,
+            n_probe = 1 << 19  # big enough to expose the transfer slope
+            rng_codes = np.frombuffer(b"ACGT" * (n_probe // 4), np.uint8)
+
+            codes_host = rng_codes[:n_probe]
+            dev = None
+            for rep in range(2):  # 1st may compile / load the cache
+                t0 = _time.perf_counter()
+                np.asarray(
+                    bloom_jax.probe_kmers_packed_jit(
+                        self._words, int(self.bf.bits), h, k,
+                        jnp.asarray(codes_host),
+                    )
                 )
-            )
+                dev = _time.perf_counter() - t0
             t0 = _time.perf_counter()
-            np.asarray(
-                bloom_jax.probe_kmers_packed_jit(
-                    self._words, int(self.bf.bits), self.cfg.h, self.cfg.k,
-                    tiny,
-                )
-            )
-            rtt = _time.perf_counter() - t0
+            native.bf_contains(self.bf, native.nthash_all(codes_host, k, h))
+            host = _time.perf_counter() - t0
         except Exception:  # noqa: BLE001 — device probe failed: host scan
             self._jax = None
+            self._mxu_planes = None
             return
-        if rtt > 0.030:  # link-dominated: host native scan wins
+        if dev > host:
             self._jax = None
             self._mxu_planes = None
 
