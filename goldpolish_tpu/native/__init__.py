@@ -62,6 +62,7 @@ def lib():
             ctypes.POINTER(ctypes.c_uint32), ctypes.c_uint32, ctypes.c_uint32,
             ctypes.POINTER(u8p), ctypes.c_uint64,
             ctypes.POINTER(u8p), ctypes.c_uint64,
+            ctypes.c_int32,
         ]
         L.gp_fill_bfs.restype = ctypes.c_int
         L.gp_bf_contains.argtypes = [
@@ -94,8 +95,12 @@ def nthash_all(seq_codes: np.ndarray, k: int, hash_num: int) -> np.ndarray:
 
 
 def fill_bfs(seq_codes: np.ndarray, hash_num: int, k_values, kmer_threshold: int,
-             cbfs, bfs) -> None:
-    """Native equivalent of ops.bloom.fill_bfs (same object interfaces)."""
+             cbfs, bfs, skip_promoted: bool = True) -> None:
+    """Native equivalent of ops.bloom.fill_bfs (same object interfaces).
+
+    skip_promoted elides the CBF read-modify-write for k-mers whose BF bits
+    already all read set — provably BF-array-exact (see gp_fill_bfs); pass
+    False for bit-exact CBF counters (the reference fill semantics)."""
     L = lib()
     seq_codes = np.ascontiguousarray(seq_codes, dtype=np.uint8)
     nk = len(k_values)
@@ -109,6 +114,7 @@ def fill_bfs(seq_codes: np.ndarray, hash_num: int, k_values, kmer_threshold: int
     rc = L.gp_fill_bfs(
         _u8ptr(seq_codes), len(seq_codes), hash_num, ks, nk, kmer_threshold,
         cbf_ptrs, cbfs[0].bytes, bf_ptrs, bfs[0].bytes,
+        1 if skip_promoted else 0,
     )
     if rc != 0:
         raise ValueError(f"gp_fill_bfs failed rc={rc}")

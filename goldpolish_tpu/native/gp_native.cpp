@@ -81,10 +81,17 @@ inline void multi_hash(uint64_t base, unsigned k, unsigned m, uint64_t* out) {
   }
 }
 
+// h mod bits, with the power-of-two case (the autoscaled production
+// filters) reduced to a mask: the generic 64-bit div costs ~20+ cycles and
+// shows up in every fill/probe inner loop.
+inline uint64_t bf_reduce(uint64_t h, uint64_t bits) {
+  return (bits & (bits - 1)) == 0 ? (h & (bits - 1)) : (h % bits);
+}
+
 inline bool bf_contains(const uint8_t* arr, uint64_t bits, const uint64_t* hashes,
                         unsigned m) {
   for (unsigned i = 0; i < m; i++) {
-    uint64_t b = hashes[i] % bits;
+    uint64_t b = bf_reduce(hashes[i], bits);
     if (!((arr[b >> 3] >> (b & 7)) & 1)) return false;
   }
   return true;
@@ -93,7 +100,7 @@ inline bool bf_contains(const uint8_t* arr, uint64_t bits, const uint64_t* hashe
 inline void bf_insert(uint8_t* arr, uint64_t bits, const uint64_t* hashes,
                       unsigned m) {
   for (unsigned i = 0; i < m; i++) {
-    uint64_t b = hashes[i] % bits;
+    uint64_t b = bf_reduce(hashes[i], bits);
     arr[b >> 3] |= (uint8_t)(1u << (b & 7));
   }
 }
@@ -105,7 +112,7 @@ inline unsigned cbf_insert_thresh(uint8_t* counters, uint64_t size,
   uint64_t idx[16];
   uint8_t mn = 255;
   for (unsigned i = 0; i < m; i++) {
-    idx[i] = hashes[i] % size;
+    idx[i] = bf_reduce(hashes[i], size);
     if (counters[idx[i]] < mn) mn = counters[idx[i]];
   }
   if (mn >= threshold) return mn;
@@ -153,7 +160,8 @@ void gp_nthash_all(const uint8_t* seq, int64_t n, uint32_t k, uint32_t hash_num,
 int gp_fill_bfs(const uint8_t* seq, int64_t seq_len, uint32_t hash_num,
                 const uint32_t* k_values, uint32_t num_k,
                 uint32_t kmer_threshold, uint8_t** cbf_arrays,
-                uint64_t cbf_bytes, uint8_t** bf_arrays, uint64_t bf_bytes) {
+                uint64_t cbf_bytes, uint8_t** bf_arrays, uint64_t bf_bytes,
+                int32_t skip_promoted) {
   if (kmer_threshold < 4 || hash_num > 16) return -1;
   const uint64_t bf_bits = bf_bytes * 8;
   // per-k filters are independent: parallelize the k sweep (each thread
@@ -172,19 +180,49 @@ int gp_fill_bfs(const uint8_t* seq, int64_t seq_len, uint32_t hash_num,
     uint64_t fh = 0, rh = 0;
     for (uint32_t i = 0; i < k; i++) fh = srol(fh) ^ kSeeds.fwd[seq[i]];
     for (uint32_t i = 0; i < k; i++) rh = srol(rh) ^ kSeeds.rc[seq[k - 1 - i]];
-    for (int64_t w = 0;; w++) {
-      multi_hash(fh + rh, k, hash_num, hashes.data());
-      if (cbf_insert_thresh(cbf, cbf_bytes, hashes.data(), hash_num, thresh) >=
-          thresh)
-        bf_insert(bf, bf_bits, hashes.data(), hash_num);
-      if (w >= seq_len - (int64_t)k) break;
-      uint8_t out_c = seq[w], in_c = seq[w + k];
-      fh = srol(fh) ^ kSeeds.fwd[in_c] ^ srol_n(kSeeds.fwd[out_c], k);
-      uint64_t v = rh ^ srol_n(kSeeds.rc[in_c], k) ^ kSeeds.rc[out_c];
-      uint64_t hi = v >> 33, lo = v & M33;
-      hi = ((hi >> 1) | (hi << 30)) & M31;
-      lo = ((lo >> 1) | (lo << 32)) & M33;
-      rh = (hi << 33) | lo;
+    // The fill is random-access bound: every k-mer touches hash_num CBF
+    // and/or BF cache lines that are almost never resident.  Pipeline the
+    // loop with a lookahead ring — hash position w+D and prefetch its
+    // slots while the filter work for position w-th runs on lines already
+    // in flight.
+    constexpr int64_t D = 8;
+    uint64_t ring[D][16];
+    const int64_t n_win = seq_len - (int64_t)k + 1;
+    for (int64_t w = 0; w < n_win + D; w++) {
+      // process the position whose prefetches were issued D iterations ago
+      // BEFORE writing this iteration's hashes: p % D == w % D, the ring
+      // slot is reused in the same iteration.
+      const int64_t p = w - D;
+      if (p >= 0) {
+        const uint64_t* hs = ring[p % D];
+        // skip_promoted: once a k-mer's bits all read set, further CBF
+        // counting cannot change the final BF array — a true promotion
+        // already inserted them, and a false positive means the insert
+        // would set already-set bits.  (CBF counts then diverge from the
+        // reference fill; the pipeline discards them post-build.)
+        if (!skip_promoted || !bf_contains(bf, bf_bits, hs, hash_num)) {
+          if (cbf_insert_thresh(cbf, cbf_bytes, hs, hash_num, thresh) >=
+              thresh)
+            bf_insert(bf, bf_bits, hs, hash_num);
+        }
+      }
+      if (w < n_win) {
+        uint64_t* slot = ring[w % D];
+        multi_hash(fh + rh, k, hash_num, slot);
+        for (uint32_t i = 0; i < hash_num; i++) {
+          __builtin_prefetch(&bf[bf_reduce(slot[i], bf_bits) >> 3], 0, 1);
+          __builtin_prefetch(&cbf[bf_reduce(slot[i], cbf_bytes)], 1, 1);
+        }
+        if (w + 1 < n_win) {
+          uint8_t out_c = seq[w], in_c = seq[w + k];
+          fh = srol(fh) ^ kSeeds.fwd[in_c] ^ srol_n(kSeeds.fwd[out_c], k);
+          uint64_t v = rh ^ srol_n(kSeeds.rc[in_c], k) ^ kSeeds.rc[out_c];
+          uint64_t hi = v >> 33, lo = v & M33;
+          hi = ((hi >> 1) | (hi << 30)) & M31;
+          lo = ((lo >> 1) | (lo << 32)) & M33;
+          rh = (hi << 33) | lo;
+        }
+      }
     }
   }
   return 0;

@@ -182,6 +182,9 @@ def run_bulk(cfg: PipelineConfig) -> dict:
     Returns aggregate stats.  Output record order always equals input order
     (ordered-writer / reaper contract).
     """
+    import time as _time
+
+    t_start = _time.monotonic()
     ws = engine.Workspace(
         prefix=f"goldpolish-tpu-{os.getpid()}",
         base=cfg.workspace or None,
@@ -199,6 +202,8 @@ def run_bulk(cfg: PipelineConfig) -> dict:
         all_batches = list(engine.make_batches(records, cfg.batch_size))
         manifest = engine.CheckpointManifest(cfg.checkpoint or None)
         totals = {"batches": len(all_batches), "contigs": 0, "bases_out": 0}
+        t_setup = _time.monotonic() - t_start  # index + mapping + builder
+        timing_sum: dict = {}
 
         # multi-host: each host polishes its share of batches, publishing
         # per-batch files; host 0 runs the ordered reaper (parallel.distributed)
@@ -250,6 +255,8 @@ def run_bulk(cfg: PipelineConfig) -> dict:
                 for _h, s in result.records:
                     totals["contigs"] += 1
                     totals["bases_out"] += len(s)
+                for key, val in result.stats.get("timing", {}).items():
+                    timing_sum[key] = timing_sum.get(key, 0.0) + val
 
             reaper = None
             if host_id == 0:
@@ -285,6 +292,8 @@ def run_bulk(cfg: PipelineConfig) -> dict:
                     writer.write((header, seq))
                     totals["contigs"] += 1
                     totals["bases_out"] += len(seq)
+                for key, val in result.stats.get("timing", {}).items():
+                    timing_sum[key] = timing_sum.get(key, 0.0) + val
 
             try:
                 loop.run_until_complete(
@@ -300,10 +309,18 @@ def run_bulk(cfg: PipelineConfig) -> dict:
                 loop.close()
         if executor is not None:
             executor.shutdown()
+        wall = _time.monotonic() - t_start
+        totals["timing"] = {"wall_s": round(wall, 3), "setup_s": round(t_setup, 3),
+                            **{k: round(v, 3) for k, v in timing_sum.items()}}
         log.info(
             "polished %d contigs (%d bases) in %d batches -> %s",
             totals["contigs"], totals["bases_out"], totals["batches"],
             cfg.output_seqs,
+        )
+        log.info(
+            "timing: wall %.1fs, setup %.1fs; batch-stage sums: %s",
+            wall, t_setup,
+            " ".join(f"{k}={v:.1f}s" for k, v in sorted(timing_sum.items())),
         )
         return totals
     finally:

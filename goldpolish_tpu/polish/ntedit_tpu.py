@@ -627,15 +627,15 @@ class NtEditTPU:
         site_cache: dict[int, tuple[siteeval.SiteSupports, int]] = {}
 
         def sup_for(si: int) -> tuple[siteeval.SiteSupports, int]:
+            # Batch the next batch_n hot sites as-is.  Supports are computed
+            # on pure-draft content, which stays valid downstream of every
+            # edit kind (subs/masks only rewrite bytes inside their dirty
+            # zone, whose hot sites the scalar segment scan consumes;
+            # indels shift the rope, not the draft).  Unfixable clusters
+            # make CONSECUTIVE windows hot — a spacing filter here would
+            # burn one near-full eval batch per cluster site.
             if si not in site_cache:
-                sel = [si]
-                last_w = int(hot_list[si])
-                j = si + 1
-                while len(sel) < batch_n and j < len(hot_list):
-                    if int(hot_list[j]) >= last_w + k:
-                        sel.append(j)
-                        last_w = int(hot_list[j])
-                    j += 1
+                sel = list(range(si, min(si + batch_n, len(hot_list))))
                 sup = self._eval_sites(codes, hot_list[sel], tier_combos)
                 for row, idx in enumerate(sel):
                     site_cache[idx] = (sup, row)
@@ -679,7 +679,18 @@ class NtEditTPU:
                 # *uppercased* draft char back (ntedit.cpp:1610)
                 seq[st["t"]] = draft_char
                 char_in = draft_char
-            if best["edit_type"] == 0 and not cfg.mask:
+            if best["edit_type"] == 0:
+                if cfg.mask:
+                    # soft-mask (-a1) lowercases one byte — a case-only write
+                    # that leaves every hash unchanged (seedTab indexes c&7),
+                    # so the precomputed present/hot/support tables stay
+                    # valid and the walk stays in FAST mode.  Unfixable
+                    # clusters would otherwise run the scalar segment scan
+                    # site by site (the dominant cost on noisy regions).
+                    fh, rh, char_in = ed._make_edit(
+                        draft_char, best, recs, st, fh, rh, seq, new_seq,
+                        char_in,
+                    )
                 cur_w = w_h + 1
                 continue
             fh, rh, char_in = ed._make_edit(

@@ -117,13 +117,23 @@ def test_native_fill_bfs_matches_python(native_lib):
             fill_fn(nt.encode(r), h, ks, thresh, cbfs, bfs)
         return cbfs, bfs
 
+    import functools
+
     cbfs_py, bfs_py = build(bloom.fill_bfs)
-    cbfs_nat, bfs_nat = build(native_lib.fill_bfs)
+    # bit-exact reference semantics (CBF + BF) with the shortcut off
+    cbfs_nat, bfs_nat = build(
+        functools.partial(native_lib.fill_bfs, skip_promoted=False)
+    )
     for a, b in zip(cbfs_py, cbfs_nat):
         assert np.array_equal(a.counters, b.counters)
     for a, b in zip(bfs_py, bfs_nat):
         assert np.array_equal(a.array, b.array)
     assert bfs_py[0].pop_count > 0  # something was promoted
+    # the production shortcut (skip CBF work once bits read set) must leave
+    # the BF array bit-identical; only the discarded CBF counts may differ
+    _cbfs_fast, bfs_fast = build(native_lib.fill_bfs)
+    for a, b in zip(bfs_py, bfs_fast):
+        assert np.array_equal(a.array, b.array)
 
 
 def test_native_bf_contains(native_lib):
