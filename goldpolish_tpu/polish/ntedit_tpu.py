@@ -454,10 +454,11 @@ class NtEditTPU:
             eligible[: lim + 1] = window_clean[k : k + lim + 1]
         miss = ~present
         cm = np.zeros(nw, np.int32)
+        missi = miss.astype(np.int32)
         for kk in range(0, k, cfg.jump):
-            idx = np.arange(nw) + kk + 1
-            valid = idx < nw
-            cm[valid] += miss[idx[valid]]
+            off = kk + 1  # cm[w] counts misses at windows w+1, w+1+j, ...
+            if off < nw:
+                cm[: nw - off] += missi[off:]
         cmf = cm.astype(np.float32)
         if cfg.use_ratio:
             thr = (np.float32(k) / np.float32(cfg.jump)) * np.float32(cfg.missing_ratio)
