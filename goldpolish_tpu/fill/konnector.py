@@ -83,15 +83,43 @@ class DBG:
         valid = (c[k:] - c[:-k]) == 0
         return present, valid
 
+    def _seed_state(self, kmer: str) -> tuple[int, int]:
+        try:
+            from .. import native
+
+            return native.seed_window(kmer.encode(), 0, self.k)
+        except Exception:  # noqa: BLE001
+            return nt.ntc64_base_i(kmer.encode(), 0, self.k)
+
     def successors(self, kmer: str) -> list[str]:
-        cands = [kmer[1:] + b for b in "ACGT"]
-        hits = self._probe_many(cands)
-        return [c for c, hit in zip(cands, hits) if hit]
+        # the 4 candidates share the (k-1)-prefix: seed one state, then
+        # O(1) changelast rehashes instead of 4 from-scratch batch hashes
+        prefix = kmer[1:]
+        fh0, rh0 = self._seed_state(prefix + "A")
+        k, h, bf = self.k, self.h, self.bf
+        out = []
+        for b in "ACGT":
+            fh, rh = (
+                (fh0, rh0) if b == "A"
+                else nt.ntc64_changelast_i(fh0, rh0, k, ord("A"), ord(b))
+            )
+            if bf.contains_tuple(nt.multi_hashes_i(fh, rh, k, h)):
+                out.append(prefix + b)
+        return out
 
     def predecessors(self, kmer: str) -> list[str]:
-        cands = [b + kmer[:-1] for b in "ACGT"]
-        hits = self._probe_many(cands)
-        return [c for c, hit in zip(cands, hits) if hit]
+        suffix = kmer[:-1]
+        fh0, rh0 = self._seed_state("A" + suffix)
+        k, h, bf = self.k, self.h, self.bf
+        out = []
+        for b in "ACGT":
+            fh, rh = (
+                (fh0, rh0) if b == "A"
+                else nt.ntc64_changefirst_i(fh0, rh0, k, ord("A"), ord(b))
+            )
+            if bf.contains_tuple(nt.multi_hashes_i(fh, rh, k, h)):
+                out.append(b + suffix)
+        return out
 
 
 def get_start_kmer_pos(dbg: DBG, seq: str, num_matches_threshold: int = 3) -> int:

@@ -315,3 +315,16 @@ def multi_hashes_i(fh: int, rh: int, k: int, m: int) -> tuple:
         t ^= t >> MULTI_SHIFT
         out.append(t)
     return tuple(out)
+
+
+def ntc64_changefirst_i(fh: int, rh: int, k: int, c_out: int, c_in: int) -> tuple[int, int]:
+    """O(1) first-base swap of a k-window's (fh, rh) state — the mirror of
+    ntc64_changelast_i, used by the gap-filler's predecessor expansion.
+
+    Derivation from the window sums (see forward_hashes/reverse_hashes):
+      fh = XOR_i srol^(k-1-i)(seed[x_i])  -> x_0 term has rotation k-1,
+      rh = XOR_i srol^(i)(rc_seed[x_i])   -> x_0 term has rotation 0.
+    """
+    fh = fh ^ srol_n_i(SEED_TAB_I[c_out] ^ SEED_TAB_I[c_in], (k - 1) % SROL_PERIOD)
+    rh = rh ^ RC_SEED_TAB_I[c_out] ^ RC_SEED_TAB_I[c_in]
+    return fh, rh

@@ -88,3 +88,17 @@ def test_srol_period():
 def test_empty_and_short():
     assert len(nt.forward_hashes(nt.encode("ACG"), 5)) == 0
     assert len(nt.canonical_hashes(nt.encode("ACGTA"), 5)) == 1
+
+
+def test_changefirst_scalar():
+    """ntc64_changefirst_i == reseed of the first-base-swapped k-mer."""
+    rng = np.random.default_rng(7)
+    for k in (32, 28, 20):
+        s = "".join(rng.choice(list("ACGT")) for _ in range(k))
+        seq = bytearray(s.encode())
+        fh, rh = nt.ntc64_base_i(seq, 0, k)
+        for b in b"ACGT":
+            want_seq = bytearray(bytes([b]) + seq[1:])
+            want = nt.ntc64_base_i(want_seq, 0, k)
+            got = nt.ntc64_changefirst_i(fh, rh, k, seq[0], b)
+            assert got == want, (k, chr(b))
