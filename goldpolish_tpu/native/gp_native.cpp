@@ -394,14 +394,20 @@ int gp_eval_sites(
   if (hash_num > 16 || k > 64) return -1;
   const uint64_t bits = bf_bytes * 8;
   const int L_sub = 2 * k, L_ins = 2 * k + max_ins, L_del = 2 * k - 1;
-  std::vector<uint8_t> patch(L_ins + 8, 0);
-  std::vector<uint8_t> suffix(k + max_del, 0);
 
   int base_row[256];
   std::memset(base_row, 0, sizeof(base_row));
   base_row['A'] = 0; base_row['C'] = 1; base_row['G'] = 2; base_row['T'] = 3;
 
+  // sites are independent (read-only inputs, disjoint output rows):
+  // parallelize across them.  Inside fork-pool workers OpenMP is pinned
+  // to one thread (utils/procs.py) and this compiles to the serial loop.
+#ifdef _OPENMP
+#pragma omp parallel for schedule(dynamic, 8)
+#endif
   for (int64_t si = 0; si < n_sites; si++) {
+    std::vector<uint8_t> patch(L_ins + 8, 0);
+    std::vector<uint8_t> suffix(k + max_del, 0);
     const int64_t w = sites[si];
     const int64_t p = w + k - 1;
     const uint8_t draft = upper_c(seq[p]);
