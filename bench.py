@@ -118,7 +118,7 @@ def main():
     # full-size bucket's XLA compile + constant upload inside the timed region)
     eng.polish_many(drafts, processes=procs)
 
-    profile_dir = os.environ.get("GPTPU_PROFILE")
+    profile_dir = os.environ.get("GPTPU_PROFILE") if jax is not None else None
     if profile_dir:
         jax.profiler.start_trace(profile_dir)
     t0 = time.time()
