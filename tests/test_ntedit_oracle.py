@@ -142,3 +142,40 @@ def test_is_repeat_insertion():
     assert ne.is_repeat_insertion("AAAA")
     assert not ne.is_repeat_insertion("ACGTACG")
     assert not ne.is_repeat_insertion("A")
+
+
+def test_mode2_fixes_simple_sub():
+    """Mode 2 (exhaustive scan) on a clean single-sub draft recovers truth
+    (reference ntedit.cpp:67-70 mode semantics)."""
+    rng = np.random.default_rng(71)
+    truth = "".join(rng.choice(list("ACGT")) for _ in range(1500))
+    bf = _mk_bloom(truth)[32]
+    d = bytearray(truth.encode())
+    d[700] = ord("A") if d[700] != ord("A") else ord("C")
+    cfg = ne.Config(k=32, h=4, use_ratio=True, mode=2)
+    out, recs, ed = ne.polish_contig(bytes(d), bf, cfg)
+    assert out == truth.encode()
+    assert ed.n_subs == 1
+
+
+def test_secondary_bf_vetoes_repeat_kmers():
+    """A secondary (repeat) BF containing the corrected k-mers suppresses
+    the fix: _probe_fr treats secbf hits as absent (the reference's
+    repeat-filter semantics), so the edit finds no accepted k-mer."""
+    rng = np.random.default_rng(72)
+    truth = "".join(rng.choice(list("ACGT")) for _ in range(1200))
+    bf = _mk_bloom(truth)[32]
+    d = bytearray(truth.encode())
+    p = 600
+    d[p] = ord("A") if d[p] != ord("A") else ord("C")
+    cfg = ne.Config(k=32, h=4, use_ratio=True, mode=0)
+    out_plain, _recs, ed_plain = ne.polish_contig(bytes(d), bf, cfg)
+    assert out_plain == truth.encode() and ed_plain.n_subs == 1
+    # repeat BF = every truth k-mer overlapping the corrected position
+    K = 32
+    rep = bloom.BloomFilter(1 << 16, 4, K)
+    window = truth[p - K + 1 : p + K]
+    rep.insert(nt.multi_hashes(nt.canonical_hashes(nt.encode(window), K), K, 4))
+    out_rep, _recs, ed_rep = ne.polish_contig(bytes(d), bf, cfg, rep)
+    assert ed_rep.n_subs == 0  # the fix is vetoed
+    assert out_rep != truth.encode()
