@@ -422,6 +422,9 @@ int gp_eval_sites(
     const int nc = sub_cand_n[draft];
     // --- substitutions + gate
     bool sub_accepted_any = false;
+    // dels are read only by the indel scan, which runs only for a gated,
+    // not-yet-accepted candidate (same conditions as the ins skip)
+    bool indels_reachable = false;
     for (int ci = 0; ci < 4; ci++) {
       gate_out[si * 4 + ci] = 0;
       sub_out[si * 4 + ci] = 0;
@@ -460,6 +463,7 @@ int gp_eval_sites(
         continue;
       }
       sub_accepted_any = sub_accepted_any || accepted;
+      indels_reachable = true;
       // --- insertions for this index char
       const int row = base_row[sub];
       for (int c = 0; c < n_combos; c++) {
@@ -476,7 +480,7 @@ int gp_eval_sites(
       }
     }
     // --- deletions (independent of index char)
-    for (int d = 1; d <= max_del; d++) {
+    for (int d = 1; d <= max_del && (indels_reachable || !skip_unused); d++) {
       std::memcpy(patch.data(), seq + w, k - 1);
       std::memcpy(patch.data() + k - 1, suffix.data() + d - 1, k);
       // validity: j == 0 needs p+d <= n-1; j > 0 needs p+d+j+1 <= n-1
