@@ -223,6 +223,10 @@ class EditStats:
 # fork-pool state for polish_many(processes=N): COW-inherited by workers
 _PM_STATE: dict = {}
 
+# adaptive-placement decision, measured once per process (the link doesn't
+# change between engines; re-probing per engine costs two 512K scans each)
+_SCAN_PLACEMENT: dict = {}
+
 
 def _pm_worker(i: int):
     eng = _PM_STATE.get("eng")
@@ -313,7 +317,8 @@ class NtEditTPU:
 
     def _maybe_demote_device_scan(self) -> None:
         """Adaptive placement: route the dense scan to the device only when
-        it beats the host native scan end-to-end.
+        it beats the host native scan end-to-end.  The measured decision is
+        cached per process (keyed by (k, h) — the compiled scan).
 
         A tunneled/remote chip (dev-box setups) pays both a round-trip
         latency and a per-byte transfer cost that a co-located TPU does
@@ -326,11 +331,18 @@ class NtEditTPU:
         import time as _time
 
         k, h = self.cfg.k, self.cfg.h
+        key = (k, h)
+        if key in _SCAN_PLACEMENT:
+            if _SCAN_PLACEMENT[key] == "host":
+                self._jax = None
+                self._mxu_planes = None
+            return
         try:
             from .. import native
 
             native.lib()
         except Exception:  # noqa: BLE001 — no native scan: keep the device
+            _SCAN_PLACEMENT[key] = "device"
             return
         try:
             bloom_jax, _ = self._jax
@@ -354,9 +366,11 @@ class NtEditTPU:
             native.bf_contains(self.bf, native.nthash_all(codes_host, k, h))
             host = _time.perf_counter() - t0
         except Exception:  # noqa: BLE001 — device probe failed: host scan
+            _SCAN_PLACEMENT[key] = "host"
             self._jax = None
             self._mxu_planes = None
             return
+        _SCAN_PLACEMENT[key] = "host" if dev > host else "device"
         if dev > host:
             self._jax = None
             self._mxu_planes = None
