@@ -624,13 +624,19 @@ class NtEditTPU:
             return bytes(seq_in), [], ed
 
         # Lazy visited-prediction batching.  Errors produce *clusters* of hot
-        # windows but the walker only visits the first of each cluster (the
-        # edit's dirty-zone segment consumes the rest), so naive chunking
-        # evaluates ~10-15x more sites than needed.  Predict the visited
-        # subset instead: from the requested site onward, take hot sites
-        # spaced >= k apart (an accepted edit pushes the scan at least k
-        # windows forward).  A prediction miss (e.g. a no-edit decision moves
-        # to the immediate next hot window) just starts a fresh batch there.
+        # windows, and which cluster members the walker visits depends on the
+        # decisions it makes: an accepted edit's dirty-zone segment scan
+        # consumes the rest of its cluster (only the FIRST site of each
+        # cluster is visited), while a mask/no-edit decision steps to the
+        # IMMEDIATE next hot window (every cluster site is visited — the
+        # unfixable-cluster regime that dominates real noisy batches).
+        # Batching either pattern alone is ~12x wasteful in the other regime,
+        # so the batch builder is adaptive: requests arriving after an
+        # accepted edit predict the visited subset as hot sites spaced
+        # >= k apart (next-cluster-first), requests arriving after a
+        # no-edit decision batch consecutively.  A prediction miss just
+        # starts a fresh batch at the missed site — correctness never
+        # depends on the prediction.
         # Tier choice by mode: mode 0 stops at the first accepted indel, so
         # short combos (tier 0) resolve almost every site and the rare rest
         # escalate; modes 1/2 always scan all 341 combos.
@@ -641,16 +647,24 @@ class NtEditTPU:
             tier_combos = self.tables.n_combos
         site_cache: dict[int, tuple[siteeval.SiteSupports, int]] = {}
 
-        def sup_for(si: int) -> tuple[siteeval.SiteSupports, int]:
-            # Batch the next batch_n hot sites as-is.  Supports are computed
-            # on pure-draft content, which stays valid downstream of every
-            # edit kind (subs/masks only rewrite bytes inside their dirty
-            # zone, whose hot sites the scalar segment scan consumes;
-            # indels shift the rope, not the draft).  Unfixable clusters
-            # make CONSECUTIVE windows hot — a spacing filter here would
-            # burn one near-full eval batch per cluster site.
+        def sup_for(si: int, consecutive: bool) -> tuple[siteeval.SiteSupports, int]:
+            # Supports are computed on pure-draft content, which stays valid
+            # downstream of every edit kind (subs/masks only rewrite bytes
+            # inside their dirty zone, whose hot sites the scalar segment
+            # scan consumes; indels shift the rope, not the draft).
             if si not in site_cache:
-                sel = list(range(si, min(si + batch_n, len(hot_list))))
+                if consecutive:
+                    sel = list(range(si, min(si + batch_n, len(hot_list))))
+                else:
+                    sel = [si]
+                    last = int(hot_list[si])
+                    j = si + 1
+                    while j < len(hot_list) and len(sel) < batch_n:
+                        w = int(hot_list[j])
+                        if w >= last + k:
+                            sel.append(j)
+                            last = w
+                        j += 1
                 sup = self._eval_sites(codes, hot_list[sel], tier_combos)
                 for row, idx in enumerate(sel):
                     site_cache[idx] = (sup, row)
@@ -661,6 +675,7 @@ class NtEditTPU:
         cur_w = masks.w0
         trailing = 0  # rope index of the trailing pure-draft position node
         hot_pos = 0
+        consec_hint = False  # last decision was mask/no-edit -> cluster walk
         while True:
             # FAST mode: jump to the next hot site at/after cur_w
             while hot_pos < len(hot_list) and hot_list[hot_pos] < cur_w:
@@ -678,7 +693,7 @@ class NtEditTPU:
             char_in = seq[st["t"]]
             draft_char = _upper(char_in)
             mode2 = cfg.mode == 2
-            sup, local_si = sup_for(si)
+            sup, local_si = sup_for(si, consec_hint)
             provider = _TableProvider(sup, local_si, seq, st["t"], mode2)
             try:
                 best = _engine_run_trials(cfg, draft_char, provider)
@@ -695,6 +710,7 @@ class NtEditTPU:
                 seq[st["t"]] = draft_char
                 char_in = draft_char
             if best["edit_type"] == 0:
+                consec_hint = True
                 if cfg.mask:
                     # soft-mask (-a1) lowercases one byte — a case-only write
                     # that leaves every hash unchanged (seedTab indexes c&7),
@@ -708,6 +724,7 @@ class NtEditTPU:
                     )
                 cur_w = w_h + 1
                 continue
+            consec_hint = False
             fh, rh, char_in = ed._make_edit(
                 draft_char, best, recs, st, fh, rh, seq, new_seq, char_in
             )
