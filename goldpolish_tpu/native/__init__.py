@@ -267,6 +267,122 @@ def clean_run(seg: bytes, k: int, hash_num: int, bf, accept_tab: np.ndarray,
     return int(m), int(fh_out.value), int(rh_out.value), bool(miss.value)
 
 
+class WalkStats:
+    """Editor counters returned by the native walk (duck-typed to the
+    oracle _Editor fields the pipeline reads)."""
+
+    __slots__ = ("n_subs", "n_ins", "n_dels", "n_masked", "n_nofix")
+
+    def __init__(self, n_subs=0, n_ins=0, n_dels=0, n_masked=0, n_nofix=0):
+        self.n_subs = n_subs
+        self.n_ins = n_ins
+        self.n_dels = n_dels
+        self.n_masked = n_masked
+        self.n_nofix = n_nofix
+
+
+def polish_contig(seq: bytes, bf, cfg, tables, bloomrep=None,
+                  present: np.ndarray | None = None):
+    """Full native editing walk (gp_polish_contig): byte-identical to
+    polish.ntedit_oracle.polish_contig (differentially tested).
+
+    present: optional primary-BF probe results of every raw-draft window
+    (e.g. from the device dense scan); the walk uses them only where
+    provably valid.  Returns (edited_bytes, subs_records, WalkStats)."""
+    if cfg.snv:
+        raise ValueError("snv mode is not supported by the native walk")
+    L = lib()
+    if not hasattr(L, "gp_polish_contig_configured"):
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        L.gp_polish_contig.argtypes = [
+            u8p, ctypes.c_int64, ctypes.c_uint32, ctypes.c_uint32,
+            u8p, ctypes.c_uint64,
+            u8p, ctypes.c_uint64,
+            u8p,
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+            u8p, i32p,
+            u8p, i32p, ctypes.c_int32,
+            u8p, ctypes.c_int64, i64p,
+            i64p, ctypes.c_int64, i64p,
+            i64p,
+        ]
+        L.gp_polish_contig.restype = ctypes.c_int
+        L.gp_polish_contig_configured = True
+    n = len(seq)
+    codes = np.frombuffer(seq, np.uint8)
+    sub_cand = np.ascontiguousarray(tables.sub_cand, np.uint8)
+    sub_cand_n = np.ascontiguousarray(tables.sub_cand_n, np.int32)
+    combo_codes = np.ascontiguousarray(tables.combo_codes, np.uint8)
+    combo_len = np.ascontiguousarray(tables.combo_len, np.int32)
+    pres_arr = None
+    pres_ptr = ctypes.cast(None, ctypes.POINTER(ctypes.c_uint8))
+    if present is not None and len(present) == max(0, n - cfg.k + 1):
+        pres_arr = np.ascontiguousarray(present, np.uint8)
+        pres_ptr = _u8ptr(pres_arr)
+    bf2_ptr = ctypes.cast(None, ctypes.POINTER(ctypes.c_uint8))
+    bf2_bytes = 0
+    if bloomrep is not None:
+        bf2_ptr = _u8ptr(bloomrep.array)
+        bf2_bytes = bloomrep.bytes
+    out_cap = n + max(4096, n // 8)
+    recs_cap = 4096
+    out_len = ctypes.c_int64()
+    n_recs = ctypes.c_int64()
+    stats = np.zeros(5, np.int64)
+    for _attempt in range(8):
+        out = np.empty(out_cap, np.uint8)
+        recs = np.zeros((recs_cap, 10), np.int64)
+        rc = L.gp_polish_contig(
+            _u8ptr(codes), n, cfg.k, cfg.h,
+            _u8ptr(bf.array), bf.bytes,
+            bf2_ptr, bf2_bytes,
+            pres_ptr,
+            cfg.mode, cfg.mask, cfg.max_insertions, cfg.max_deletions,
+            cfg.jump, cfg.insertion_cap,
+            _bail_needed(cfg.thr_edit), _bail_needed(cfg.thr_del),
+            _bail_needed(cfg.thr_missing),
+            _u8ptr(sub_cand),
+            sub_cand_n.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            _u8ptr(combo_codes),
+            combo_len.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            tables.n_combos,
+            _u8ptr(out), out_cap, ctypes.byref(out_len),
+            recs.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), recs_cap,
+            ctypes.byref(n_recs),
+            stats.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        )
+        if rc == 0:
+            break
+        if rc == 1:  # out or recs buffer too small: grow and retry
+            out_cap *= 2
+            recs_cap *= 2
+            continue
+        raise ValueError(f"gp_polish_contig failed rc={rc}")
+    else:
+        raise ValueError("gp_polish_contig: buffers kept overflowing")
+    rec_list = []
+    for r in recs[: int(n_recs.value)]:
+        rec = {
+            "pos": int(r[0]),
+            "draft_char": int(r[1]),
+            "sub_base": int(r[2]),
+            "num_support": int(r[3]),
+        }
+        if r[5]:
+            rec["altbase1"], rec["altsupp1"] = int(r[4]), int(r[5])
+        if r[7]:
+            rec["altbase2"], rec["altsupp2"] = int(r[6]), int(r[7])
+        if r[9]:
+            rec["altbase3"], rec["altsupp3"] = int(r[8]), int(r[9])
+        rec_list.append(rec)
+    ed = WalkStats(*(int(x) for x in stats))
+    return bytes(out[: int(out_len.value)]), rec_list, ed
+
+
 def seed_window(seq, start: int, k: int) -> tuple[int, int]:
     """(fh, rh) of the k-window at seq[start:start+k] (scalar ntc64_base)."""
     L = lib()

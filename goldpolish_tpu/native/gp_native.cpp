@@ -556,3 +556,962 @@ void gp_seed_window(const uint8_t* buf, uint32_t k,
 }
 
 }  // extern "C"
+
+// ===========================================================================
+// Full native editing walk (gp_polish_contig): a C port of the exact oracle
+// editor (polish/ntedit_oracle.py, itself a faithful reimplementation of the
+// reference kmerizeAndCorrect loop, subprojects/ntedit/ntedit.cpp:1414-1771).
+// Semantics are pinned by the engine-vs-oracle differential test suite; every
+// structure below mirrors its Python twin by name.
+// ===========================================================================
+
+namespace {
+
+struct AcceptTabs {
+  uint8_t accepted[256];  // is_accepted(upper(c))
+  uint8_t atgc[256];      // is_atgc(c) for UPPERCASE c
+  uint8_t upper[256];
+  uint8_t lower[256];
+  uint8_t rc_c[256];      // complement, 'N' otherwise (oracle rc())
+  AcceptTabs() {
+    std::memset(accepted, 0, sizeof(accepted));
+    std::memset(atgc, 0, sizeof(atgc));
+    for (const char* p = "ATGCRYSWKMBDHV"; *p; p++) {
+      accepted[(uint8_t)*p] = 1;
+      accepted[(uint8_t)(*p + 32)] = 0;  // table is indexed by UPPER(c)
+    }
+    for (const char* p = "ATGC"; *p; p++) atgc[(uint8_t)*p] = 1;
+    for (int c = 0; c < 256; c++) {
+      upper[c] = (c >= 'a' && c <= 'z') ? c - 32 : c;
+      lower[c] = (c >= 'A' && c <= 'Z') ? c + 32 : c;
+      rc_c[c] = 'N';
+    }
+    rc_c['A'] = 'T'; rc_c['a'] = 'T';
+    rc_c['T'] = 'A'; rc_c['t'] = 'A';
+    rc_c['G'] = 'C'; rc_c['g'] = 'C';
+    rc_c['C'] = 'G'; rc_c['c'] = 'G';
+  }
+};
+const AcceptTabs kTabs;
+
+// rope node (oracle Node / reference seqNode, ntedit.cpp:468-475)
+struct RNode {
+  int8_t type = -1;  // -1 unset; 0 position-range; 1 literal
+  int64_t s = 0, e = 0;
+  uint8_t c = 0;
+  int32_t supp = 0;
+};
+
+struct Cursor {
+  int64_t h = 0, t = 0;
+  int64_t hn = 0, tn = 0;
+};
+
+struct Best {
+  int32_t et = 0;
+  uint8_t indel[64];
+  int32_t indel_len = 0;
+  uint8_t alt_indel[64];
+  int32_t alt_indel_len = 0;
+  uint8_t sub_base = 0;
+  int32_t num_support = 0;
+  uint8_t ab1 = 0, ab2 = 0, ab3 = 0;
+  int32_t as1 = 0, as2 = 0, as3 = 0;
+};
+
+struct WalkCtx {
+  // config
+  uint32_t k, hn_;
+  int32_t mode, mask, max_ins, max_del, jump, ins_cap;
+  int32_t bail_edit, bail_del, bail_missing;
+  const uint8_t* bf; uint64_t bits;
+  const uint8_t* bf2; uint64_t bits2;  // secondary (repeat) BF, nullable
+  const uint8_t* sub_cand; const int32_t* sub_cand_n;
+  const uint8_t* combo_codes; const int32_t* combo_len; int32_t n_combos;
+  const uint8_t* present;  // nullable [n-k+1] probe results on the raw draft
+  // state
+  uint8_t* seq; int64_t n;
+  std::vector<RNode> rope;
+  Cursor st;
+  uint64_t fh = 0, rh = 0;
+  uint8_t char_in = 0;
+  int64_t last_base_change = -1;  // max draft pos whose BASE was rewritten
+  // outputs
+  int64_t n_subs = 0, n_ins = 0, n_dels = 0, n_masked = 0, n_nofix = 0;
+  int64_t* recs; int64_t recs_cap; int64_t n_recs = 0; bool recs_overflow = false;
+  // per-site deletion-trial cache (_ScalarProvider._del)
+  int32_t del_cnt[8]; uint8_t del_bytes[8][8]; uint8_t del_done[8];
+};
+
+inline uint8_t rope_get_char(const WalkCtx& w, int64_t pos, const RNode& nd) {
+  if (nd.type == 0) return w.seq[pos];
+  if (nd.type == 1) return nd.c;
+  return 0;
+}
+
+// oracle _Editor.increment (reference ntedit.cpp:681-699)
+inline void rope_increment(const WalkCtx& w, int64_t& pos, int64_t& ni) {
+  const RNode& nd = w.rope[ni];
+  if (nd.type == 0) {
+    pos += 1;
+    if (pos > nd.e) {
+      ni += 1;
+      if (ni < (int64_t)w.rope.size() && w.rope[ni].type == 0)
+        pos = w.rope[ni].s;
+    }
+  } else if (nd.type == 1) {
+    ni += 1;
+    if (ni < (int64_t)w.rope.size() && w.rope[ni].type == 0)
+      pos = w.rope[ni].s;
+  }
+}
+
+// oracle _Editor.roll (reference ntedit.cpp:939-969)
+inline bool rope_roll(const WalkCtx& w, Cursor& st, uint8_t& c_out,
+                      uint8_t& c_in) {
+  const int64_t R = (int64_t)w.rope.size();
+  if (st.h >= w.n || st.hn >= R) return false;
+  c_out = rope_get_char(w, st.h, w.rope[st.hn]);
+  rope_increment(w, st.h, st.hn);
+  if (st.t >= w.n || st.tn >= R) { c_in = 0; return false; }
+  rope_increment(w, st.t, st.tn);
+  if (st.t >= w.n || st.tn >= R) { c_in = 0; return false; }
+  c_in = rope_get_char(w, st.t, w.rope[st.tn]);
+  return true;
+}
+
+inline void hash_roll(uint64_t& fh, uint64_t& rh, uint32_t k, uint8_t c_out,
+                      uint8_t c_in) {
+  fh = srol(fh) ^ kSeeds.fwd[c_in] ^ srol_n(kSeeds.fwd[c_out], k);
+  uint64_t v = rh ^ srol_n(kSeeds.rc[c_in], k) ^ kSeeds.rc[c_out];
+  uint64_t hi = v >> 33, lo = v & M33;
+  hi = ((hi >> 1) | (hi << 30)) & M31;
+  lo = ((lo >> 1) | (lo << 32)) & M33;
+  rh = (hi << 33) | lo;
+}
+
+// ntc64_changelast_i (ops/nthash.py)
+inline void hash_changelast(uint64_t& fh, uint64_t& rh, uint32_t k,
+                            uint8_t c_out, uint8_t c_in) {
+  fh = fh ^ kSeeds.fwd[c_out] ^ kSeeds.fwd[c_in];
+  uint64_t v = srol(rh) ^ srol_n(kSeeds.rc[c_out], k) ^
+               srol_n(kSeeds.rc[c_in], k);
+  uint64_t hi = v >> 33, lo = v & M33;
+  hi = ((hi >> 1) | (hi << 30)) & M31;
+  lo = ((lo >> 1) | (lo << 32)) & M33;
+  rh = (hi << 33) | lo;
+}
+
+// primary-only probe (oracle _probe_fr_primary)
+inline bool probe_primary(const WalkCtx& w, uint64_t fh, uint64_t rh) {
+  uint64_t hs[16];
+  multi_hash(fh + rh, w.k, w.hn_, hs);
+  return bf_contains(w.bf, w.bits, hs, w.hn_);
+}
+
+// primary + secondary veto (oracle _probe_fr)
+inline bool probe_full(const WalkCtx& w, uint64_t fh, uint64_t rh) {
+  uint64_t hs[16];
+  multi_hash(fh + rh, w.k, w.hn_, hs);
+  if (!bf_contains(w.bf, w.bits, hs, w.hn_)) return false;
+  if (w.bf2 && bf_contains(w.bf2, w.bits2, hs, w.hn_)) return false;
+  return true;
+}
+
+// oracle find_first_accepted_kmer (reference ntedit.cpp:392-413)
+inline int64_t find_first_accepted(const uint8_t* seq, int64_t n, uint32_t k) {
+  int64_t i = 0;
+  while (i + (int64_t)k < n) {
+    if (kTabs.accepted[kTabs.upper[seq[i]]]) {
+      bool good = true;
+      for (int64_t j = i + 1; j < i + (int64_t)k; j++) {
+        if (!kTabs.accepted[kTabs.upper[seq[j]]]) {
+          good = false;
+          i = j + 1;
+          break;
+        }
+      }
+      if (good) return i;
+    } else {
+      i += 1;
+    }
+  }
+  return n - 1;
+}
+
+// oracle make_insertion (reference ntedit.cpp:480-569); returns new tn
+int64_t rope_make_insertion(WalkCtx& w, int64_t tn, int64_t insert_pos,
+                            const uint8_t* ins, int32_t ins_len,
+                            int32_t supp) {
+  std::vector<RNode>& rope = w.rope;
+  RNode orig = rope[tn];
+  std::vector<RNode> to_insert(ins_len);
+  for (int32_t i = 0; i < ins_len; i++)
+    to_insert[i] = RNode{1, 0, 0, ins[i], supp};
+  if (orig.type == 0) {
+    if (insert_pos <= orig.s) {
+      std::vector<RNode> reappend;
+      int64_t i = tn;
+      while (i < (int64_t)rope.size() && rope[i].type != -1) {
+        reappend.push_back(rope[i]);
+        rope[i].type = -1;
+        i++;
+      }
+      for (int64_t j = 0; j < (int64_t)to_insert.size(); j++) {
+        if (tn + j < (int64_t)rope.size()) rope[tn + j] = to_insert[j];
+        else rope.push_back(to_insert[j]);
+      }
+      for (int64_t j = 0; j < (int64_t)reappend.size(); j++) {
+        int64_t at = tn + (int64_t)to_insert.size() + j;
+        if (at < (int64_t)rope.size()) rope[at] = reappend[j];
+        else rope.push_back(reappend[j]);
+      }
+    } else {
+      RNode after{0, insert_pos, orig.e, 0, 0};
+      rope[tn].e = insert_pos - 1;
+      for (int64_t j = 0; j < (int64_t)to_insert.size(); j++) {
+        int64_t at = tn + j + 1;
+        if (at < (int64_t)rope.size()) rope[at] = to_insert[j];
+        else rope.push_back(to_insert[j]);
+      }
+      int64_t at = tn + (int64_t)to_insert.size() + 1;
+      if (at < (int64_t)rope.size()) rope[at] = after;
+      else rope.push_back(after);
+      tn += 1;
+    }
+  } else if (orig.type == 1) {
+    std::vector<RNode> reappend;
+    int64_t i = tn;
+    while (i < (int64_t)rope.size() && rope[i].type != -1) {
+      reappend.push_back(rope[i]);
+      rope[i].type = -1;
+      i++;
+    }
+    for (int64_t j = 0; j < (int64_t)to_insert.size(); j++) {
+      if (tn + j < (int64_t)rope.size()) rope[tn + j] = to_insert[j];
+      else rope.push_back(to_insert[j]);
+    }
+    for (int64_t j = 0; j < (int64_t)reappend.size(); j++) {
+      int64_t at = tn + (int64_t)to_insert.size() + j;
+      if (at < (int64_t)rope.size()) rope[at] = reappend[j];
+      else rope.push_back(reappend[j]);
+    }
+  }
+  return tn;
+}
+
+// oracle make_deletion (reference ntedit.cpp:574-664); updates tn and pos
+void rope_make_deletion(WalkCtx& w, int64_t& tn, int64_t& pos, int64_t num_del,
+                        int32_t supp) {
+  std::vector<RNode>& rope = w.rope;
+  RNode orig = rope[tn];
+  if (orig.type == 0) {
+    int64_t leftover = 0;
+    if (pos <= orig.s) {
+      if (pos + num_del <= orig.e) {
+        rope[tn].s = pos + num_del;
+        rope[tn].supp = supp;
+        pos = rope[tn].s;
+        return;
+      }
+      leftover = pos + num_del - orig.e;
+      pos = orig.e + 1;
+      int64_t i = tn + 1;
+      while (i < (int64_t)rope.size() && rope[i].type != -1) {
+        rope[i - 1] = rope[i];
+        rope[i] = RNode();
+        i++;
+      }
+    } else {
+      if (pos + num_del <= orig.e) {
+        RNode split{0, pos + num_del, orig.e, 0, supp};
+        rope[tn].e = pos - 1;
+        pos = split.s;
+        tn += 1;
+        if (tn < (int64_t)rope.size()) rope[tn] = split;
+        else rope.push_back(split);
+        return;
+      }
+      leftover = pos + num_del - orig.e;
+      rope[tn].e = pos - 1;
+      pos = orig.e + 1;
+      tn += 1;
+    }
+    if (leftover > 0) {
+      if (tn < (int64_t)rope.size() && rope[tn].type != -1) {
+        if (rope[tn].type == 0) pos = rope[tn].s;
+        rope_make_deletion(w, tn, pos, leftover, supp);
+      }
+    }
+  } else if (orig.type == 1) {
+    int64_t i = tn;
+    int64_t leftover = num_del;
+    while (i < (int64_t)rope.size() && rope[i].type == 1 && leftover > 0) {
+      rope[i].type = -1;
+      leftover--;
+      i++;
+    }
+    int64_t j = tn;
+    while (i < (int64_t)rope.size() && rope[i].type != -1) {
+      rope[j] = rope[i];
+      rope[i] = RNode();
+      i++;
+      j++;
+    }
+    if (leftover > 0) {
+      if (tn < (int64_t)rope.size() && rope[tn].type != -1) {
+        if (rope[tn].type == 0) pos = rope[tn].s;
+        rope_make_deletion(w, tn, pos, leftover, supp);
+      }
+    }
+  }
+}
+
+// oracle find_accepted_kmer (reference ntedit.cpp:703-758); advances st,
+// fills kmer_out (k bytes) and returns true when found.
+bool rope_find_accepted_kmer(WalkCtx& w, Cursor& st, uint8_t* kmer_out) {
+  const uint32_t k = w.k;
+  const std::vector<RNode>& rope = w.rope;
+  int64_t temp_tn = st.tn;
+  int64_t i = st.t;
+  while (i < w.n && temp_tn < (int64_t)rope.size() &&
+         rope[temp_tn].type != -1) {
+    uint8_t c = rope_get_char(w, i, rope[temp_tn]);
+    if (kTabs.accepted[kTabs.upper[c]]) {
+      uint32_t klen = 1;
+      kmer_out[0] = c;
+      int64_t temp_hn = temp_tn;
+      int64_t j = i, temp_tn2 = temp_tn;
+      rope_increment(w, j, temp_tn2);
+      bool broke_inner = false;
+      while (j < w.n && temp_tn2 < (int64_t)rope.size() &&
+             rope[temp_tn2].type != -1) {
+        c = rope_get_char(w, j, rope[temp_tn2]);
+        if (!kTabs.accepted[kTabs.upper[c]]) {
+          i = j;
+          broke_inner = true;
+          break;
+        }
+        kmer_out[klen++] = c;
+        if (klen == k) break;
+        rope_increment(w, j, temp_tn2);
+      }
+      if (klen == k) {
+        st.h = i;
+        st.t = j;
+        st.hn = temp_hn;
+        st.tn = temp_tn2;
+        return true;
+      }
+      if (broke_inner) {
+        temp_tn = temp_tn2;
+        continue;
+      }
+    }
+    rope_increment(w, i, temp_tn);
+  }
+  st.h = w.n;
+  st.t = w.n;
+  return false;
+}
+
+// oracle get_prev_insertion (reference ntedit.cpp:762-777)
+std::string rope_prev_insertion(const WalkCtx& w, int64_t t_seq_i, int64_t tn) {
+  std::string prev;
+  const std::vector<RNode>& rope = w.rope;
+  if ((tn < (int64_t)rope.size() && rope[tn].type == 0 &&
+       t_seq_i == rope[tn].s) ||
+      rope[tn].type == 1)
+    tn -= 1;
+  while (tn >= 0 && tn < (int64_t)rope.size() && rope[tn].type == 1) {
+    prev.push_back((char)kTabs.rc_c[rope[tn].c]);
+    tn -= 1;
+  }
+  return prev;
+}
+
+// oracle _rollback_insertion (reference ntedit.cpp:1043-1056, 1074-1088)
+void rope_rollback_insertion(WalkCtx& w, const Cursor& st, int64_t count) {
+  std::vector<RNode>& rope = w.rope;
+  int64_t j = 1;
+  if (rope[st.tn].type == 0 && st.t == rope[st.tn].s) j = 0;
+  for (int64_t i = count; i > 0; i--) {
+    if (st.tn + j < (int64_t)rope.size() && rope[st.tn + j].type != -1) {
+      rope[st.tn - i] = rope[st.tn + j];
+      rope[st.tn + j] = RNode();
+      j++;
+    } else {
+      rope[st.tn - i].type = -1;
+    }
+  }
+}
+
+// oracle compute_lps + is_repeat_insertion (reference ntedit.cpp:416-451)
+bool is_repeat_insertion_c(const std::string& s) {
+  const int64_t n = (int64_t)s.size();
+  if (n == 0) return false;
+  std::vector<int64_t> lps(n, 0);
+  int64_t len = 0, i = 1;
+  while (i < n) {
+    if (s[i] == s[len]) {
+      len++;
+      lps[i] = len;
+      i++;
+    } else if (len != 0) {
+      len = lps[len - 1];
+    } else {
+      lps[i] = 0;
+      i++;
+    }
+  }
+  int64_t length = lps[n - 1];
+  return length > 0 && n % (n - length) == 0;
+}
+
+// Early-bail accounting for a jump-subsampled probe chain: once
+// hits + probes-still-ahead < bail, the trial cannot be accepted, and any
+// returned value below the accept threshold is decision-equivalent (the
+// trial loops read non-accepted counts only through the accept test), so
+// the chain may stop.  Accepted trials never bail, keeping their exact
+// counts for best/alt bookkeeping and records.
+inline int32_t probes_ahead(uint32_t kk, uint32_t kk_last, uint32_t jump) {
+  // number of probe points kk' with kk <= kk' <= kk_last and kk' % jump == 0
+  if (kk > kk_last) return 0;
+  uint32_t first = (kk + jump - 1) / jump * jump;
+  if (first > kk_last) return 0;
+  return (int32_t)((kk_last - first) / jump + 1);
+}
+
+// oracle sub_trial_scalar (reference ntedit.cpp:1558-1619)
+void sub_trial_c(WalkCtx& w, int32_t ci, const Cursor& st, uint64_t fh,
+                 uint64_t rh, bool& gate, int32_t& check) {
+  const uint32_t k = w.k;
+  const uint8_t draft =
+      kTabs.upper[rope_get_char(w, st.t, w.rope[st.tn])];
+  const uint8_t sub = w.sub_cand[(int)draft * 4 + ci];
+  uint64_t tfh = fh, trh = rh;
+  hash_changelast(tfh, trh, k, draft, sub);
+  gate = probe_full(w, tfh, trh);
+  check = 0;
+  if (!(gate || w.mode == 2)) return;
+  Cursor tmp = st;
+  RNode& t_node = w.rope[st.tn];
+  if (t_node.type == 0) w.seq[st.t] = sub;
+  else if (t_node.type == 1) t_node.c = sub;
+  uint32_t kk = 0;
+  uint64_t cfh = tfh, crh = trh;
+  while (kk < k && tmp.h < w.n && tmp.t < w.n) {
+    if (check + probes_ahead(kk, k - 1, w.jump) < w.bail_edit) break;
+    uint8_t c_out, c_in;
+    if (!rope_roll(w, tmp, c_out, c_in)) break;
+    hash_roll(cfh, crh, k, c_out, c_in);
+    if (kk % w.jump == 0 && probe_full(w, cfh, crh)) check++;
+    kk++;
+  }
+  // revert writes back the UPPERCASED draft char (reference ntedit.cpp:1610)
+  RNode& t_node2 = w.rope[st.tn];
+  if (t_node2.type == 0) w.seq[st.t] = draft;
+  else if (t_node2.type == 1) t_node2.c = draft;
+}
+
+// oracle try_insertion (reference ntedit.cpp:1276-1331)
+int32_t try_insertion_c(WalkCtx& w, uint8_t draft, uint8_t index_char,
+                        int32_t combo_i, const Cursor& st, uint64_t fh,
+                        uint64_t rh) {
+  const uint32_t k = w.k;
+  int row = index_char == 'A' ? 0 : index_char == 'C' ? 1
+            : index_char == 'G' ? 2 : 3;
+  const uint8_t* cc =
+      w.combo_codes + ((int64_t)row * w.n_combos + combo_i) * w.max_ins;
+  const int32_t clen = w.combo_len[combo_i];
+  uint8_t combo[72];
+  std::memcpy(combo, cc, clen);
+  combo[clen] = draft;
+  const int32_t combo_total = clen + 1;
+  Cursor tmp = st;
+  uint64_t tfh = fh, trh = rh;
+  hash_changelast(tfh, trh, k, draft, index_char);
+  int32_t check = 0;
+  int32_t kk = 0;
+  while (kk < combo_total - 1 && tmp.h < w.n) {
+    if (check + probes_ahead(kk, k - 2, w.jump) < w.bail_edit) return check;
+    uint8_t c_out = rope_get_char(w, tmp.h, w.rope[tmp.hn]);
+    hash_roll(tfh, trh, k, c_out, combo[kk + 1]);
+    rope_increment(w, tmp.h, tmp.hn);
+    if (kk % w.jump == 0 && probe_full(w, tfh, trh)) check++;
+    kk++;
+  }
+  while (kk < (int32_t)k - 1 && tmp.h < w.n) {
+    if (check + probes_ahead(kk, k - 2, w.jump) < w.bail_edit) return check;
+    uint8_t c_out, c_in;
+    if (rope_roll(w, tmp, c_out, c_in)) {
+      hash_roll(tfh, trh, k, c_out, c_in);
+      if (kk % w.jump == 0 && probe_full(w, tfh, trh)) check++;
+    }
+    kk++;
+  }
+  return check;
+}
+
+// oracle try_deletion (reference ntedit.cpp:1157-1234); cached per d
+void try_deletion_c(WalkCtx& w, uint8_t draft, int32_t d, const Cursor& st,
+                    uint64_t fh, uint64_t rh) {
+  if (w.del_done[d]) return;
+  w.del_done[d] = 1;
+  const uint32_t k = w.k;
+  Cursor tmp = st;
+  for (int32_t i = 0; i < d; i++) {
+    w.del_bytes[d][i] = rope_get_char(w, tmp.t, w.rope[tmp.tn]);
+    rope_increment(w, tmp.t, tmp.tn);
+  }
+  uint8_t nxt = (tmp.tn < (int64_t)w.rope.size())
+                    ? rope_get_char(w, tmp.t, w.rope[tmp.tn])
+                    : 0;
+  uint64_t tfh = fh, trh = rh;
+  hash_changelast(tfh, trh, k, draft, nxt);
+  int32_t check = 0;
+  if (probe_full(w, tfh, trh)) check++;
+  uint32_t kk = 1;
+  while (kk <= k - 2 && tmp.h < w.n) {
+    if (check + probes_ahead(kk, k - 2, w.jump) < w.bail_del) break;
+    uint8_t c_out, c_in;
+    if (rope_roll(w, tmp, c_out, c_in)) {
+      hash_roll(tfh, trh, k, c_out, c_in);
+      if (kk % w.jump == 0 && probe_full(w, tfh, trh)) check++;
+    }
+    kk++;
+  }
+  w.del_cnt[d] = check;
+}
+
+// oracle update_sub_best (reference ntedit.cpp:1628-1677)
+void update_sub_best_c(Best& b, uint8_t sub, int32_t check) {
+  if (check >= b.num_support) {
+    if (b.as2) { b.ab3 = b.ab2; b.as3 = b.as2; }
+    if (b.as1) { b.ab2 = b.ab1; b.as2 = b.as1; }
+    if (b.num_support) { b.as1 = b.num_support; b.ab1 = b.sub_base; }
+    b.et = 1;
+    b.sub_base = sub;
+    b.num_support = check;
+  } else {
+    if (!b.as1) {
+      b.ab1 = sub; b.as1 = check;
+    } else if (!b.as2) {
+      if (check < b.as1) { b.ab2 = sub; b.as2 = check; }
+      else { b.ab2 = b.ab1; b.as2 = b.as1; b.ab1 = sub; b.as1 = check; }
+    } else if (!b.as3) {
+      if (check < b.as2) { b.ab3 = sub; b.as3 = check; }
+      else if (check < b.as1) {
+        b.ab3 = b.ab2; b.as3 = b.as2; b.ab2 = sub; b.as2 = check;
+      } else {
+        b.ab3 = b.ab2; b.as3 = b.as2; b.ab2 = b.ab1; b.as2 = b.as1;
+        b.ab1 = sub; b.as1 = check;
+      }
+    }
+  }
+}
+
+// oracle _run_indel_trials (reference ntedit.cpp:1237-1411)
+bool run_indel_trials_c(WalkCtx& w, uint8_t draft, int32_t ci,
+                        int32_t& num_deletions, Best& best, const Cursor& st,
+                        uint64_t fh, uint64_t rh) {
+  int32_t t_best_support = 0, t_alt_support = 0;
+  uint8_t t_best_indel[64], t_alt_indel[64];
+  int32_t t_best_len = 0, t_alt_len = 0;
+  int32_t t_best_type = 0;
+  const uint8_t index_char = w.sub_cand[(int)draft * 4 + ci];
+  const int row = index_char == 'A' ? 0 : index_char == 'C' ? 1
+                  : index_char == 'G' ? 2 : 3;
+  for (int32_t i = 0; i < w.n_combos; i++) {
+    int32_t check = try_insertion_c(w, draft, index_char, i, st, fh, rh);
+    const uint8_t* cc =
+        w.combo_codes + ((int64_t)row * w.n_combos + i) * w.max_ins;
+    const int32_t clen = w.combo_len[i];
+    if (check >= w.bail_edit) {
+      if (w.mode == 0) {
+        best.et = 2;
+        std::memcpy(best.indel, cc, clen);
+        best.indel_len = clen;
+        best.num_support = check;
+        return true;
+      }
+      if (check >= t_best_support) {
+        if (t_best_support) {
+          std::memcpy(t_alt_indel, t_best_indel, t_best_len);
+          t_alt_len = t_best_len;
+          t_alt_support = t_best_support;
+        }
+        t_best_type = 2;
+        std::memcpy(t_best_indel, cc, clen);
+        t_best_len = clen;
+        t_best_support = check;
+      }
+    }
+    if (num_deletions <= w.max_del) {
+      try_deletion_c(w, draft, num_deletions, st, fh, rh);
+      int32_t del_check = w.del_cnt[num_deletions];
+      int32_t del_support = (del_check >= w.bail_del) ? del_check : 0;
+      if (del_support > 0) {
+        if (w.mode == 0) {
+          best.et = 3;
+          std::memcpy(best.indel, w.del_bytes[num_deletions], num_deletions);
+          best.indel_len = num_deletions;
+          best.num_support = del_support;
+          num_deletions += 1;
+          return true;
+        }
+        if (del_support >= t_best_support) {
+          if (t_best_support) {
+            std::memcpy(t_alt_indel, t_best_indel, t_best_len);
+            t_alt_len = t_best_len;
+            t_alt_support = t_best_support;
+          }
+          t_best_type = 3;
+          std::memcpy(t_best_indel, w.del_bytes[num_deletions], num_deletions);
+          t_best_len = num_deletions;
+          t_best_support = del_support;
+        }
+      }
+      num_deletions += 1;
+    }
+  }
+  if (t_best_support > 0) {
+    if ((w.mode == 2 && t_best_support > best.num_support) || w.mode == 1) {
+      best.et = t_best_type;
+      std::memcpy(best.indel, t_best_indel, t_best_len);
+      best.indel_len = t_best_len;
+      best.num_support = t_best_support;
+      std::memcpy(best.alt_indel, t_alt_indel, t_alt_len);
+      best.alt_indel_len = t_alt_len;
+      best.as1 = t_alt_support;
+    }
+    return true;
+  }
+  return false;
+}
+
+// oracle run_trials (reference ntedit.cpp:1525-1713), non-SNV
+Best run_trials_c(WalkCtx& w, uint8_t draft, const Cursor& st, uint64_t fh,
+                  uint64_t rh) {
+  Best best;
+  int32_t num_deletions = 1;
+  std::memset(w.del_done, 0, sizeof(w.del_done));
+  const int32_t nb = w.sub_cand_n[draft];
+  for (int32_t ci = 0; ci < nb; ci++) {
+    const uint8_t sub = w.sub_cand[(int)draft * 4 + ci];
+    bool gate;
+    int32_t check;
+    sub_trial_c(w, ci, st, fh, rh, gate, check);
+    if (gate || w.mode == 2) {
+      if (check >= w.bail_edit) {
+        update_sub_best_c(best, sub, check);
+        if (w.mode == 0 || w.mode == 1) continue;
+      }
+      if (w.mode == 2 || best.et != 1) {
+        bool found =
+            run_indel_trials_c(w, draft, ci, num_deletions, best, st, fh, rh);
+        if (found && (w.mode == 0 || w.mode == 1)) break;
+      }
+    }
+  }
+  return best;
+}
+
+// oracle _make_edit (reference ntedit.cpp:972-1154)
+void make_edit_c(WalkCtx& w, uint8_t draft, const Best& best) {
+  const uint32_t k = w.k;
+  Cursor& st = w.st;
+  const int32_t et = best.et;
+  if (et == 1) {
+    w.n_subs++;
+    RNode& t_node = w.rope[st.tn];
+    if (t_node.type == 0) {
+      w.seq[st.t] = best.sub_base;
+      if (st.t > w.last_base_change) w.last_base_change = st.t;
+      if (w.n_recs < w.recs_cap) {
+        int64_t* r = w.recs + w.n_recs * 10;
+        r[0] = st.t;
+        r[1] = draft;
+        r[2] = best.sub_base;
+        r[3] = best.num_support;
+        r[4] = r[5] = r[6] = r[7] = r[8] = r[9] = 0;
+        if (best.as1 && best.ab1 != best.sub_base) { r[4] = best.ab1; r[5] = best.as1; }
+        if (best.as2 && best.ab2 != best.ab1) { r[6] = best.ab2; r[7] = best.as2; }
+        if (best.as3 && best.ab3 != best.ab2) { r[8] = best.ab3; r[9] = best.as3; }
+        w.n_recs++;
+      } else {
+        w.recs_overflow = true;
+      }
+    } else if (t_node.type == 1) {
+      t_node.c = best.sub_base;
+    }
+    hash_changelast(w.fh, w.rh, k, draft, best.sub_base);
+    w.char_in = best.sub_base;
+  } else if (et == 2) {
+    bool skipped_repeat = false;
+    std::string prev = rope_prev_insertion(w, st.t, st.tn);
+    std::string indel((const char*)best.indel, best.indel_len);
+    uint8_t kmer[72];
+    if ((int64_t)prev.size() + (int64_t)indel.size() >= (int64_t)k) {
+      if (is_repeat_insertion_c(prev) ||
+          (int64_t)prev.size() + (int64_t)indel.size() >= w.ins_cap) {
+        rope_rollback_insertion(w, st, (int64_t)prev.size());
+        if (rope_find_accepted_kmer(w, st, kmer)) {
+          RollState rs;
+          rs.seed(kmer, k);
+          w.fh = rs.fh;
+          w.rh = rs.rh;
+          w.char_in = kmer[k - 1];
+        }
+        skipped_repeat = true;
+      } else {
+        std::string prev_l = prev;
+        for (size_t wi = 0; wi < indel.size(); wi++) {
+          prev_l.insert(prev_l.begin(),
+                        (char)kTabs.rc_c[(uint8_t)indel[wi]]);
+          if (is_repeat_insertion_c(prev_l)) {
+            rope_rollback_insertion(w, st, (int64_t)prev_l.size() - (int64_t)wi);
+            if (rope_find_accepted_kmer(w, st, kmer)) {
+              RollState rs;
+              rs.seed(kmer, k);
+              w.fh = rs.fh;
+              w.rh = rs.rh;
+              w.char_in = kmer[k - 1];
+            }
+            skipped_repeat = true;
+            break;
+          }
+        }
+      }
+    }
+    if (!skipped_repeat) {
+      w.n_ins++;
+      st.tn = rope_make_insertion(w, st.tn, st.t, best.indel, best.indel_len,
+                                  best.num_support);
+      hash_changelast(w.fh, w.rh, k, draft, best.indel[0]);
+      w.char_in = best.indel[0];
+    }
+  } else if (et == 3) {
+    w.n_dels++;
+    rope_make_deletion(w, st.tn, st.t, best.indel_len, best.num_support);
+    uint8_t nxt = (st.tn < (int64_t)w.rope.size())
+                      ? rope_get_char(w, st.t, w.rope[st.tn])
+                      : 0;
+    hash_changelast(w.fh, w.rh, k, draft, nxt);
+    w.char_in = nxt;
+  } else {
+    w.n_nofix++;
+    if (w.mask) {
+      w.n_masked++;
+      RNode& t_node = w.rope[st.tn];
+      const uint8_t lo = kTabs.lower[draft];
+      if (t_node.type == 0) w.seq[st.t] = lo;
+      else if (t_node.type == 1) t_node.c = lo;
+      hash_changelast(w.fh, w.rh, k, draft, lo);
+      w.char_in = lo;
+    }
+  }
+}
+
+}  // namespace
+
+extern "C" {
+
+// Full-contig native editing walk; byte-identical to the oracle editor.
+// present: optional [n-k+1] uint8 of primary-BF probe results on the raw
+// draft (device- or host-precomputed); used only where provably valid.
+// Returns 0 ok; 1 = out/recs buffer too small (caller retries bigger);
+// -1 bad args.  recs rows: [pos, draft, sub, supp, ab1, as1, ab2, as2,
+// ab3, as3], alt fields zeroed when the oracle would omit them.
+int gp_polish_contig(
+    const uint8_t* seq_in, int64_t n, uint32_t k, uint32_t hash_num,
+    const uint8_t* bf, uint64_t bf_bytes,
+    const uint8_t* bf2, uint64_t bf2_bytes,
+    const uint8_t* present,
+    int32_t mode, int32_t mask_flag, int32_t max_ins, int32_t max_del,
+    int32_t jump, int32_t insertion_cap,
+    int32_t bail_edit, int32_t bail_del, int32_t bail_missing,
+    const uint8_t* sub_cand, const int32_t* sub_cand_n,
+    const uint8_t* combo_codes, const int32_t* combo_len, int32_t n_combos,
+    uint8_t* out_seq, int64_t out_cap, int64_t* out_len,
+    int64_t* recs, int64_t recs_cap, int64_t* n_recs,
+    int64_t* stats /* [n_subs, n_ins, n_dels, n_masked, n_nofix] */) {
+  if (hash_num > 16 || k > 64 || max_del > 7 || max_ins > 5) return -1;
+  WalkCtx w;
+  w.k = k;
+  w.hn_ = hash_num;
+  w.mode = mode;
+  w.mask = mask_flag;
+  w.max_ins = max_ins;
+  w.max_del = max_del;
+  w.jump = jump;
+  w.ins_cap = insertion_cap;
+  w.bail_edit = bail_edit;
+  w.bail_del = bail_del;
+  w.bail_missing = bail_missing;
+  w.bf = bf;
+  w.bits = bf_bytes * 8;
+  w.bf2 = bf2;
+  w.bits2 = bf2_bytes * 8;
+  w.sub_cand = sub_cand;
+  w.sub_cand_n = sub_cand_n;
+  w.combo_codes = combo_codes;
+  w.combo_len = combo_len;
+  w.n_combos = n_combos;
+  w.present = present;
+  w.recs = recs;
+  w.recs_cap = recs_cap;
+
+  std::vector<uint8_t> seq_buf(seq_in, seq_in + n);
+  w.seq = seq_buf.data();
+  w.n = n;
+  w.rope.push_back(RNode{0, 0, n - 1, 0, 0});
+
+  Cursor& st = w.st;
+  st.h = find_first_accepted(w.seq, n, k);
+  st.t = st.h + k - 1;
+  st.hn = st.tn = 0;
+  if (st.h + (int64_t)k - 1 < n) {
+    RollState rs;
+    rs.seed(w.seq + st.h, k);
+    w.fh = rs.fh;
+    w.rh = rs.rh;
+    w.char_in = w.seq[st.t];
+  }
+
+  // scan_from (oracle ntedit.cpp:1461-1760), exit_check=None
+  bool first = true;
+  for (;;) {
+    if (!first) {
+      int64_t target = -1;
+      bool alive = true;
+      for (;;) {
+        uint8_t c_out, c_in;
+        if (rope_roll(w, st, c_out, c_in)) {
+          if (!kTabs.accepted[kTabs.upper[c_in]]) target = st.t + k;
+          hash_roll(w.fh, w.rh, k, c_out, c_in);
+          w.char_in = c_in;
+        } else {
+          alive = false;
+          break;
+        }
+        if (!(target >= 0 && st.t != target)) break;
+      }
+      if (!alive) break;
+    }
+    first = false;
+    if (st.h + (int64_t)k - 1 >= n) break;
+    bool missing = !probe_primary(w, w.fh, w.rh);
+    if (!missing) {
+      // bulk clean-run fast path: when the cursor sits in the trailing
+      // pure-draft node, windows are contiguous seq bytes — zero-copy run.
+      if (st.hn == st.tn && w.rope[st.hn].type == 0 &&
+          w.rope[st.hn].e == n - 1) {
+        const int64_t lim = n - (int64_t)k - st.h;
+        if (lim > 0) {
+          int64_t m = 0;
+          int stopped_missing = 0;
+          if (w.present && st.h > w.last_base_change) {
+            // present[] gives every probe on unmutated draft content; scan
+            // it (plus the incoming-char accept gate), then reseed hashes
+            // at the stop window — k ops instead of m probe chains.
+            int64_t i = 1;
+            for (; i <= lim; i++) {
+              const uint8_t cin = w.seq[st.h + i + k - 1];
+              if (!kTabs.accepted[kTabs.upper[cin]]) break;
+              m = i;
+              if (!w.present[st.h + i]) {
+                stopped_missing = 1;
+                break;
+              }
+            }
+            if (m) {
+              RollState rs;
+              rs.seed(w.seq + st.h + m, k);
+              w.fh = rs.fh;
+              w.rh = rs.rh;
+            }
+          } else {
+            RollState rs{w.fh, w.rh};
+            for (int64_t i = 1; i <= lim; i++) {
+              const uint8_t cin = w.seq[st.h + i + k - 1];
+              if (!kTabs.accepted[kTabs.upper[cin]]) break;
+              rs.roll(w.seq[st.h + i - 1], cin, k);
+              m = i;
+              if (!rs.probe(w.bf, w.bits, k, hash_num)) {
+                stopped_missing = 1;
+                break;
+              }
+            }
+            w.fh = rs.fh;
+            w.rh = rs.rh;
+          }
+          if (m) {
+            st.h += m;
+            st.t += m;
+            w.char_in = w.seq[st.t];
+            if (stopped_missing) {
+              first = true;  // state is AT the missing window
+              continue;
+            }
+            continue;  // stopped at a bad char or the end: roll next iter
+          }
+        }
+      }
+      continue;
+    }
+    // detection (reference :1487-1523)
+    {
+      Cursor tmp = st;
+      uint64_t tfh = w.fh, trh = w.rh;
+      const uint8_t draft = kTabs.upper[w.char_in];
+      int32_t check_missing = 0;
+      bool do_not_fix = false;
+      uint32_t kk = 0;
+      while (kk < k && tmp.h < n) {
+        uint8_t c_out, c_in;
+        if (rope_roll(w, tmp, c_out, c_in)) {
+          hash_roll(tfh, trh, k, c_out, c_in);
+          if (!kTabs.accepted[kTabs.upper[c_in]]) {
+            do_not_fix = true;
+            break;
+          }
+          if (kk % jump == 0 && !probe_primary(w, tfh, trh)) check_missing++;
+        } else {
+          do_not_fix = true;
+          break;
+        }
+        kk++;
+      }
+      if (!do_not_fix && check_missing >= bail_missing) {
+        Best best = run_trials_c(w, draft, st, w.fh, w.rh);
+        make_edit_c(w, draft, best);
+      }
+    }
+  }
+
+  // render (oracle _render / reference writeEditsToFile)
+  int64_t olen = 0;
+  for (const RNode& nd : w.rope) {
+    if (nd.type == -1) break;
+    if (nd.type == 0) {
+      const int64_t len = nd.e - nd.s + 1;
+      if (olen + len > out_cap) return 1;
+      std::memcpy(out_seq + olen, w.seq + nd.s, len);
+      olen += len;
+    } else if (nd.type == 1) {
+      if (olen + 1 > out_cap) return 1;
+      out_seq[olen++] = nd.c;
+    }
+  }
+  *out_len = olen;
+  *n_recs = w.n_recs;
+  stats[0] = w.n_subs;
+  stats[1] = w.n_ins;
+  stats[2] = w.n_dels;
+  stats[3] = w.n_masked;
+  stats[4] = w.n_nofix;
+  return w.recs_overflow ? 1 : 0;
+}
+
+}  // extern "C"

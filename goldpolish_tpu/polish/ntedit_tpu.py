@@ -375,6 +375,25 @@ class NtEditTPU:
             self._jax = None
             self._mxu_planes = None
 
+    def _use_native_walk(self) -> bool:
+        """The full native walk (gp_polish_contig) replaces phases A+B when
+        available: it runs trials only at truly visited sites with zero
+        Python per-site overhead, and consumes a device-computed present[]
+        when one is passed.  The jax backend (explicit device candidate
+        eval) and GPTPU_NO_NATIVE_WALK=1 (the Python-engine differential
+        tests) keep the two-phase path."""
+        import os as _os
+
+        if self._device_eval or _os.environ.get("GPTPU_NO_NATIVE_WALK"):
+            return False
+        try:
+            from .. import native
+
+            native.lib()
+            return True
+        except Exception:  # noqa: BLE001
+            return False
+
     # -- phase A --------------------------------------------------------------
     def _present_host(self, codes: np.ndarray) -> np.ndarray:
         """Host-side dense scan (native when available)."""
@@ -598,6 +617,12 @@ class NtEditTPU:
         cfg = self.cfg
         k = cfg.k
         n = len(seq_in)
+        if n >= cfg.min_contig_len and n >= k and self._use_native_walk():
+            from .. import native
+
+            return native.polish_contig(
+                seq_in, self.bf, cfg, self.tables, present=present
+            )
         ed = orc._Editor(cfg, self.bf)
         if n < cfg.min_contig_len or n < k:
             return bytes(seq_in), [], ed

@@ -1,0 +1,148 @@
+"""Differential tests for the full native editing walk (gp_polish_contig).
+
+The walker is a C port of the exact oracle editor (the engine routes
+through it by default); these tests pin it against the oracle directly on
+the walker-specific surfaces: all modes, the secondary (repeat) Bloom
+filter veto, the present[]-assisted clean-run fast path, and output/record
+buffer growth.
+"""
+
+import numpy as np
+import pytest
+
+from goldpolish_tpu.ops import bloom, nthash as nt, siteeval
+from goldpolish_tpu.polish import ntedit_oracle as ne
+
+try:
+    from goldpolish_tpu import native
+
+    native.lib()
+    HAVE_NATIVE = True
+except Exception:  # noqa: BLE001
+    HAVE_NATIVE = False
+
+pytestmark = pytest.mark.skipif(not HAVE_NATIVE, reason="native lib absent")
+
+K, H = 32, 4
+
+
+def _bf_from(truth: str, bytes_size=1 << 17):
+    bf = bloom.BloomFilter(bytes_size, H, K)
+    bf.insert(nt.multi_hashes(nt.canonical_hashes(nt.encode(truth), K), K, H))
+    return bf
+
+
+def _mutated(rng, n=8000, n_err=24, kinds="sid"):
+    truth = "".join(rng.choice(list("ACGT")) for _ in range(n))
+    draft = list(truth)
+    positions = sorted(
+        rng.choice(np.arange(K, n - K), n_err, replace=False)
+    )[::-1]
+    for i, p in enumerate(positions):
+        kind = kinds[i % len(kinds)]
+        if kind == "s":
+            draft[p] = "ACGT"[("ACGT".index(draft[p]) + 1 + int(rng.integers(3))) % 4]
+        elif kind == "i":
+            draft.insert(p, str(rng.choice(list("ACGT"))))
+        else:
+            del draft[p]
+    return truth, "".join(draft).encode()
+
+
+def _tables(cfg):
+    return siteeval.make_tables(cfg.k, cfg.jump, cfg.max_insertions, cfg.max_deletions)
+
+
+@pytest.mark.parametrize("mode", [0, 1, 2])
+@pytest.mark.parametrize("mask", [0, 1])
+def test_walker_matches_oracle_modes(mode, mask):
+    rng = np.random.default_rng(mode * 2 + mask)
+    truth, draft = _mutated(rng)
+    bf = _bf_from(truth)
+    cfg = ne.Config(k=K, h=H, use_ratio=True, mode=mode, mask=mask)
+    out_o, recs_o, ed_o = ne.polish_contig(draft, bf, cfg)
+    out_n, recs_n, ed_n = native.polish_contig(draft, bf, cfg, _tables(cfg))
+    assert out_n == out_o
+    assert recs_n == recs_o
+    assert (ed_n.n_subs, ed_n.n_ins, ed_n.n_dels, ed_n.n_masked, ed_n.n_nofix) == (
+        ed_o.n_subs, ed_o.n_ins, ed_o.n_dels, ed_o.n_masked, ed_o.n_nofix,
+    )
+
+
+def test_walker_secondary_bf_matches():
+    """The repeat-BF veto (probe = primary and not secondary) must match the
+    oracle's _probe_fr semantics, including trials vetoed into rejection."""
+    rng = np.random.default_rng(7)
+    truth, draft = _mutated(rng, n_err=30)
+    bf = _bf_from(truth)
+    # secondary BF holding a slice of the truth k-mers: those probes veto
+    sec = bloom.BloomFilter(1 << 15, H, K)
+    sec.insert(
+        nt.multi_hashes(nt.canonical_hashes(nt.encode(truth[:2000]), K), K, H)
+    )
+    cfg = ne.Config(k=K, h=H, use_ratio=True, mode=1, mask=1)
+    out_o, recs_o, _ = ne.polish_contig(draft, bf, cfg, bloomrep=sec)
+    out_n, recs_n, _ = native.polish_contig(
+        draft, bf, cfg, _tables(cfg), bloomrep=sec
+    )
+    assert out_n == out_o
+    assert recs_n == recs_o
+
+
+def test_walker_present_hint_matches():
+    """A device/host-precomputed present[] must not change the result (it is
+    consumed only where provably valid: unmutated windows in the trailing
+    pure-draft rope node)."""
+    rng = np.random.default_rng(11)
+    truth, draft = _mutated(rng, n=12000, n_err=40)
+    bf = _bf_from(truth, 1 << 18)
+    cfg = ne.Config(k=K, h=H, use_ratio=True, mode=1, mask=1)
+    codes = np.frombuffer(draft, np.uint8)
+    present = bf.contains(
+        nt.multi_hashes(nt.canonical_hashes(codes, K), K, H)
+    )
+    out_bare, recs_bare, _ = native.polish_contig(draft, bf, cfg, _tables(cfg))
+    out_hint, recs_hint, _ = native.polish_contig(
+        draft, bf, cfg, _tables(cfg), present=present
+    )
+    out_o, recs_o, _ = ne.polish_contig(draft, bf, cfg)
+    assert out_bare == out_o and recs_bare == recs_o
+    assert out_hint == out_o and recs_hint == recs_o
+
+
+def test_walker_record_buffer_growth():
+    """More substitution records than the initial 4096-row buffer: the
+    wrapper must retry with a bigger buffer and return every record."""
+    rng = np.random.default_rng(3)
+    n = 400_000
+    truth = "".join(rng.choice(list("ACGT")) for _ in range(n))
+    bf = _bf_from(truth, 1 << 20)
+    draft = list(truth)
+    for p in range(K, n - K, 64):  # ~6200 substitutions
+        draft[p] = "ACGT"[("ACGT".index(draft[p]) + 1) % 4]
+    draft_b = "".join(draft).encode()
+    cfg = ne.Config(k=K, h=H, use_ratio=True, mode=1, mask=1)
+    out_n, recs_n, ed_n = native.polish_contig(draft_b, bf, cfg, _tables(cfg))
+    assert len(recs_n) > 4096
+    assert ed_n.n_subs == len(recs_n)
+    out_o, recs_o, _ = ne.polish_contig(draft_b, bf, cfg)
+    assert out_n == out_o
+    assert recs_n == recs_o
+
+
+def test_walker_lowercase_and_iupac():
+    rng = np.random.default_rng(5)
+    truth, draft = _mutated(rng, n=6000, n_err=18)
+    # sprinkle lowercase and IUPAC codes into the draft
+    d = bytearray(draft)
+    for p in range(100, len(d) - 100, 257):
+        d[p] = ord("acgt"[p % 4])
+    for p in range(150, len(d) - 100, 701):
+        d[p] = ord("RYSWKM"[p % 6])
+    draft = bytes(d)
+    bf = _bf_from(truth)
+    cfg = ne.Config(k=K, h=H, use_ratio=True, mode=1, mask=1)
+    out_o, recs_o, _ = ne.polish_contig(draft, bf, cfg)
+    out_n, recs_n, _ = native.polish_contig(draft, bf, cfg, _tables(cfg))
+    assert out_n == out_o
+    assert recs_n == recs_o

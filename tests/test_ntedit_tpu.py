@@ -44,17 +44,29 @@ def _mutate(rng, truth, n_err, kinds="sid", span=None):
 
 
 def _check_equal(draft: bytes, bf, cfg, backend="numpy"):
+    """Both engine paths — the native walk (gp_polish_contig, the default)
+    and the Python two-phase engine (GPTPU_NO_NATIVE_WALK=1) — must match
+    the oracle byte-for-byte."""
+    import os
+
     out_o, recs_o, ed_o = ne.polish_contig(draft, bf, cfg)
-    eng = NtEditTPU(cfg, bf, backend=backend)
-    out_t, recs_t, ed_t = eng.polish_contig(draft)
-    assert out_t == out_o, (
-        f"output mismatch: lens {len(out_t)} vs {len(out_o)}, first diff at "
-        f"{next((i for i, (a, b) in enumerate(zip(out_t, out_o)) if a != b), -1)}"
-    )
-    assert recs_t == recs_o
-    assert (ed_t.n_subs, ed_t.n_ins, ed_t.n_dels) == (
-        ed_o.n_subs, ed_o.n_ins, ed_o.n_dels,
-    )
+    for no_walk in ("", "1"):
+        os.environ["GPTPU_NO_NATIVE_WALK"] = no_walk
+        try:
+            eng = NtEditTPU(cfg, bf, backend=backend)
+            out_t, recs_t, ed_t = eng.polish_contig(draft)
+        finally:
+            del os.environ["GPTPU_NO_NATIVE_WALK"]
+        path = "two-phase" if no_walk else "native-walk"
+        assert out_t == out_o, (
+            f"[{path}] output mismatch: lens {len(out_t)} vs {len(out_o)}, "
+            f"first diff at "
+            f"{next((i for i, (a, b) in enumerate(zip(out_t, out_o)) if a != b), -1)}"
+        )
+        assert recs_t == recs_o, f"[{path}] records mismatch"
+        assert (ed_t.n_subs, ed_t.n_ins, ed_t.n_dels) == (
+            ed_o.n_subs, ed_o.n_ins, ed_o.n_dels,
+        ), f"[{path}] stats mismatch"
     return out_o, ed_o
 
 
