@@ -17,6 +17,7 @@
 // Build: see build.py (g++ -O3 -shared -fPIC -fopenmp).
 
 #include <cstdint>
+#include <cstdlib>
 #include <cstdio>
 #include <cstring>
 #include <string>
@@ -164,6 +165,81 @@ int gp_fill_bfs(const uint8_t* seq, int64_t seq_len, uint32_t hash_num,
                 int32_t skip_promoted) {
   if (kmer_threshold < 4 || hash_num > 16) return -1;
   const uint64_t bf_bits = bf_bytes * 8;
+  // Single-thread case (fork-pool workers pin OpenMP to 1 thread): fuse
+  // the k sweep into ONE pass with per-k interleaved rolling states.  The
+  // k streams touch disjoint filters, so each k's conservative-update
+  // order is untouched (bit-identical to the serial sweep), while the
+  // independent dependency chains overlap their cache misses.
+#ifdef _OPENMP
+  bool fuse = num_k > 1 && num_k <= 8 && omp_get_max_threads() <= 1;
+#else
+  bool fuse = num_k > 1 && num_k <= 8;
+#endif
+  if (fuse && std::getenv("GPTPU_NO_FUSED_FILL")) fuse = false;
+  if (fuse) {
+    constexpr int64_t D = 4;
+    struct KState {
+      uint64_t fh = 0, rh = 0;
+      uint64_t ring[D][16];
+      int64_t n_win = 0;
+      unsigned thresh = 0;
+      uint8_t* cbf = nullptr;
+      uint8_t* bf = nullptr;
+      uint32_t k = 0;
+    };
+    KState ks[8];
+    int64_t max_win = 0;
+    for (uint32_t ki = 0; ki < num_k; ki++) {
+      KState& s = ks[ki];
+      s.k = k_values[ki];
+      s.thresh = kmer_threshold - 2 + ki;
+      s.cbf = cbf_arrays[ki];
+      s.bf = bf_arrays[ki];
+      s.n_win = seq_len - (int64_t)s.k + 1;
+      if (s.n_win < 0) s.n_win = 0;
+      if (s.n_win > max_win) max_win = s.n_win;
+      if (s.n_win) {
+        for (uint32_t i = 0; i < s.k; i++) {
+          s.fh = srol(s.fh) ^ kSeeds.fwd[seq[i]];
+          s.rh = srol(s.rh) ^ kSeeds.rc[seq[s.k - 1 - i]];
+        }
+      }
+    }
+    for (int64_t w = 0; w < max_win + D; w++) {
+      const int64_t p = w - D;
+      for (uint32_t ki = 0; ki < num_k; ki++) {
+        KState& s = ks[ki];
+        if (p >= 0 && p < s.n_win) {
+          const uint64_t* hs = s.ring[p % D];
+          if (!skip_promoted || !bf_contains(s.bf, bf_bits, hs, hash_num)) {
+            if (cbf_insert_thresh(s.cbf, cbf_bytes, hs, hash_num, s.thresh) >=
+                s.thresh)
+              bf_insert(s.bf, bf_bits, hs, hash_num);
+          }
+        }
+        if (w < s.n_win) {
+          uint64_t* slot = s.ring[w % D];
+          multi_hash(s.fh + s.rh, s.k, hash_num, slot);
+          for (uint32_t i = 0; i < hash_num; i++) {
+            __builtin_prefetch(&s.bf[bf_reduce(slot[i], bf_bits) >> 3], 0, 1);
+            __builtin_prefetch(&s.cbf[bf_reduce(slot[i], cbf_bytes)], 1, 1);
+          }
+          if (w + 1 < s.n_win) {
+            const uint8_t out_c = seq[w], in_c = seq[w + s.k];
+            s.fh = srol(s.fh) ^ kSeeds.fwd[in_c] ^
+                   srol_n(kSeeds.fwd[out_c], s.k);
+            uint64_t v = s.rh ^ srol_n(kSeeds.rc[in_c], s.k) ^
+                         kSeeds.rc[out_c];
+            uint64_t hi = v >> 33, lo = v & M33;
+            hi = ((hi >> 1) | (hi << 30)) & M31;
+            lo = ((lo >> 1) | (lo << 32)) & M33;
+            s.rh = (hi << 33) | lo;
+          }
+        }
+      }
+    }
+    return 0;
+  }
   // per-k filters are independent: parallelize the k sweep (each thread
   // owns its own CBF/BF pair, so the conservative-update order within a
   // read stays sequential per k -> bit-identical to the serial loop)
