@@ -122,6 +122,91 @@ class DBG:
         return out
 
 
+class DeviceDBG(DBG):
+    """DBG whose 4-way extension probes run batched on the TPU.
+
+    The BFS bookkeeping (queue discipline, cost/branch limits, traversal
+    recording) stays on host and is byte-identical to the host DBG path —
+    graph membership is a pure function of the Bloom filter, so moving the
+    probes to the device cannot change any outcome.  _BidiSearch hands the
+    whole live frontier (both directions) to `prefetch` whenever it pops a
+    vertex whose probes are not cached, so one fixed-shape device call
+    ([rows, 4, k] extension candidates → hash → Bloom bit-gather) covers a
+    whole BFS level; newly discovered children batch into the next call.
+
+    On a co-located chip this turns ~4 scalar probes/vertex into one
+    device call per level across hundreds of active branches (and, via
+    seal_records' shared DBG, across every open gap of the batch).  Through
+    a high-latency tunnel the host DBG is the right backend — the same
+    placement rule as the editor's dense scan.
+    """
+
+    def __init__(self, bf, k: int, words=None):
+        super().__init__(bf, k)
+        from ..ops import bloom_jax
+
+        self._bloom_jax = bloom_jax
+        self._words = bloom_jax.to_device_words(bf) if words is None else words
+        self._succ_cache: dict[str, tuple] = {}
+        self._pred_cache: dict[str, tuple] = {}
+
+    def is_cached(self, kmer: str, want_succ: bool) -> bool:
+        cache = self._succ_cache if want_succ else self._pred_cache
+        return kmer in cache
+
+    def prefetch(self, succ_vertices, pred_vertices) -> None:
+        """Batch-probe the 4 extensions of every uncached vertex in one
+        device call and fill the caches."""
+        import jax.numpy as jnp
+
+        succs = [v for v in dict.fromkeys(succ_vertices) if v not in self._succ_cache]
+        preds = [v for v in dict.fromkeys(pred_vertices) if v not in self._pred_cache]
+        rows = len(succs) + len(preds)
+        if rows == 0:
+            return
+        k = self.k
+        ext = np.empty((rows, 4, k), np.uint8)
+        bases = np.frombuffer(b"ACGT", np.uint8)
+        for i, v in enumerate(succs):
+            pre = np.frombuffer(v.encode(), np.uint8)[1:]
+            ext[i, :, : k - 1] = pre
+            ext[i, :, k - 1] = bases
+        for j, v in enumerate(preds):
+            suf = np.frombuffer(v.encode(), np.uint8)[:-1]
+            ext[len(succs) + j, :, 1:] = suf
+            ext[len(succs) + j, :, 0] = bases
+        flat = ext.reshape(rows * 4, k)
+        bucket = max(64, 1 << (rows * 4 - 1).bit_length())
+        padded = np.zeros((bucket, k), np.uint8)
+        padded[: rows * 4] = flat
+        pres = np.asarray(
+            self._bloom_jax.probe_kmers_jit(
+                self._words, int(self.bf.bits), self.h, k, jnp.asarray(padded)
+            )
+        ).reshape(bucket, -1)[: rows * 4, 0]
+        pres = pres.reshape(rows, 4)
+        for i, v in enumerate(succs):
+            self._succ_cache[v] = tuple(bool(x) for x in pres[i])
+        for j, v in enumerate(preds):
+            self._pred_cache[v] = tuple(bool(x) for x in pres[len(succs) + j])
+
+    def successors(self, kmer: str) -> list[str]:
+        m = self._succ_cache.get(kmer)
+        if m is None:
+            self.prefetch([kmer], [])
+            m = self._succ_cache[kmer]
+        prefix = kmer[1:]
+        return [prefix + b for b, ok in zip("ACGT", m) if ok]
+
+    def predecessors(self, kmer: str) -> list[str]:
+        m = self._pred_cache.get(kmer)
+        if m is None:
+            self.prefetch([], [kmer])
+            m = self._pred_cache[kmer]
+        suffix = kmer[:-1]
+        return [b + suffix for b, ok in zip("ACGT", m) if ok]
+
+
 def get_start_kmer_pos(dbg: DBG, seq: str, num_matches_threshold: int = 3) -> int:
     """Anchor k-mer choice, FORWARD direction (right-to-left scan with
     skip-aware run counting) — reference DBGBloomAlgorithms.h:51-108."""
@@ -222,9 +307,16 @@ class _BidiSearch:
         import collections
 
         q = [collections.deque([self.start]), collections.deque([self.goal])]
+        prefetch = getattr(self.dbg, "prefetch", None)
         while q[F] or q[R]:
             Q = q[dirn]
             u = Q.popleft()
+            if prefetch is not None and not self.dbg.is_cached(u, dirn == F):
+                # batch the whole live frontier (both directions) into one
+                # device call; membership is pure, so outcomes are identical
+                succs = [u, *q[F]] if dirn == F else list(q[F])
+                preds = [u, *q[R]] if dirn == R else list(q[R])
+                prefetch(succs, preds)
             edges = (
                 [(u, v) for v in self.dbg.successors(u)]
                 if dirn == F

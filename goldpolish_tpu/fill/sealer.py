@@ -128,11 +128,17 @@ def _classify(res) -> str:
 
 
 def seal_records(records, bfs_by_k: dict[int, object], cfg: SealerConfig,
-                 trace_out: list | None = None):
+                 trace_out: list | None = None, backend: str = "numpy"):
     """Gap-fill a batch of (header, seq) records.
 
     bfs_by_k: {k: host BloomFilter}.  Returns (records_out, stats) where
     stats = {k: {counter: n}, "gaps_found": n, "gaps_closed": n}.
+
+    backend="jax" routes the BFS's 4-way extension probes through the
+    device-batched DBG (konnector.DeviceDBG): one fixed-shape device call
+    per frontier level, shared across every open gap of the batch via the
+    per-k probe cache; search outcomes are identical to the host DBG
+    (membership is a pure function of the Bloom filter).
     """
     # collect flanks across all records, keyed like the reference's
     # map<FastaRecord(left), map<FastaRecord(right), Gap>> — outer key is
@@ -151,7 +157,12 @@ def seal_records(records, bfs_by_k: dict[int, object], cfg: SealerConfig,
     stats = {"gaps_found": gaps_found, "gaps_closed": 0}
     for k in cfg.k_values:
         bf = bfs_by_k[k]
-        dbg = DBG(bf, k)
+        if backend == "jax":
+            from .konnector import DeviceDBG
+
+            dbg = DeviceDBG(bf, k)
+        else:
+            dbg = DBG(bf, k)
         params = ConnectPairsParams(
             max_merged_seq_len=cfg.max_gap_length + 2 * cfg.flank_length,
             max_paths=cfg.max_paths,

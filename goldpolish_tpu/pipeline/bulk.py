@@ -166,7 +166,12 @@ def polish_batch_records(records, builder: BFBuilder, cfg: PipelineConfig) -> Ba
         )
         bfs_by_k = {k: batch_bfs.bf_for_k(k) for k in cfg.k_values}
         t0 = _time.monotonic()
-        sealed, seal_stats = sealer_mod.seal_records(prepped, bfs_by_k, scfg)
+        sealed, seal_stats = sealer_mod.seal_records(
+            prepped, bfs_by_k, scfg,
+            # device-batched BFS probes on the jax backend (in-process
+            # only: fork-pool workers run host backends by construction)
+            backend="jax" if cfg.backend == "jax" else "numpy",
+        )
         timing["sealer_s"] = round(_time.monotonic() - t0, 3)
         stats["sealer"] = seal_stats
     else:

@@ -144,3 +144,40 @@ def test_seal_n_gap_plain_mode():
     out, stats = sealer.seal_records([("c1", draft)], bfs, cfg)
     assert stats["gaps_closed"] == 1
     assert out[0][1].upper() == truth
+
+
+# --- device-batched DBG (konnector.DeviceDBG) --------------------------------
+def test_device_dbg_matches_host_dbg():
+    """Successor/predecessor sets from the device-batched probes must equal
+    the host DBG's scalar probes (membership is pure)."""
+    rng = np.random.default_rng(9)
+    truth = _genome(rng, 2000)
+    bf = _bf_from(truth)
+    host = konnector.DBG(bf, K)
+    dev = konnector.DeviceDBG(bf, K)
+    kmers = [truth[i : i + K] for i in range(0, 500, 7)]
+    # prefetch half as a frontier batch, leave the rest to miss-path calls
+    dev.prefetch(kmers[::2], kmers[1::2])
+    for km in kmers:
+        assert dev.successors(km) == host.successors(km), km
+        assert dev.predecessors(km) == host.predecessors(km), km
+
+
+def test_seal_records_jax_backend_matches_host():
+    """Full sealer run with the device-batched BFS: identical output and
+    identical outcome counters to the host backend."""
+    rng = np.random.default_rng(10)
+    truth = _genome(rng, 3000)
+    ks = [32, 28]
+    bfs = {k: _bf_from(truth, k=k) for k in ks}
+    draft = (
+        truth[:700] + truth[700:760].lower() + truth[760:1500]
+        + truth[1500:1580].lower() + truth[1580:]
+    )
+    cfg = sealer.SealerConfig(k_values=ks, flank_length=32, verbose=False)
+    out_h, stats_h = sealer.seal_records([("c1 x", draft)], bfs, cfg)
+    out_j, stats_j = sealer.seal_records(
+        [("c1 x", draft)], bfs, cfg, backend="jax"
+    )
+    assert out_j == out_h
+    assert stats_j == stats_h
