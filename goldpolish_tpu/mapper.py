@@ -60,6 +60,67 @@ def minimizer_sketch(seq: str | bytes, k: int = DEFAULT_K, w: int = DEFAULT_W):
     return pos.astype(np.int64), h[pos]
 
 
+_SKETCH_JAX = None
+
+
+def _sketch_jax_fn():
+    """Compiled device minimizer-selection kernel (built once).
+
+    All-window canonical hashing runs as the closed-form prefix-XOR scan
+    (ops/nthash_jax), then minimizer selection uses two reduce_window
+    passes: wmin[j] = min of window j, and position i is a minimizer iff
+    max_{windows j covering i} wmin[j] == h[i] (every covering window has
+    wmin <= h[i], so the max reaches h[i] exactly when some window's min IS
+    h[i]).  With 64-bit hashes, ties — the only case where this differs
+    from the host sketch's first-argmin rule — have probability ~2^-64.
+    Returns a [nw] bool mask; the data-dependent position extraction stays
+    on host.
+    """
+    global _SKETCH_JAX
+    if _SKETCH_JAX is None:
+        import jax
+        import jax.numpy as jnp
+        from jax import lax
+
+        from .ops import nthash_jax
+
+        def sel(codes, w: int, k: int):
+            h = nthash_jax.canonical_hashes(codes, k)
+            wmin = lax.reduce_window(
+                h, jnp.uint64(0xFFFFFFFFFFFFFFFF), lax.min, (w,), (1,),
+                "valid",
+            )
+            # pad so output index i reduces over wmin[i-w+1 .. i] — exactly
+            # the windows covering position i (out-of-range pads are 0 and
+            # cannot win the max against a real hash)
+            cover_max = lax.reduce_window(
+                jnp.pad(wmin, (w - 1, w - 1), constant_values=0),
+                jnp.uint64(0), lax.max, (w,), (1,), "valid",
+            )
+            return cover_max == h, h
+
+        _SKETCH_JAX = jax.jit(sel, static_argnums=(1, 2))
+    return _SKETCH_JAX
+
+
+def minimizer_sketch_jax(seq: str | bytes, k: int = DEFAULT_K,
+                         w: int = DEFAULT_W):
+    """Device-side (positions, hashes) minimizer sketch; same contract as
+    minimizer_sketch (ties aside, see _sketch_jax_fn)."""
+    codes = nt.encode(seq) if isinstance(seq, str) else np.frombuffer(seq, np.uint8)
+    n = len(codes)
+    if n < k:
+        return np.zeros(0, np.int64), np.zeros(0, np.uint64)
+    nw = n - k + 1
+    if nw <= w:
+        return minimizer_sketch(seq, k, w)
+    import jax.numpy as jnp
+
+    mask, h = _sketch_jax_fn()(jnp.asarray(codes), w, k)
+    pos = np.nonzero(np.asarray(mask))[0].astype(np.int64)
+    return pos, np.asarray(h)[pos]
+
+
 def map_reads(target_records, read_records, k: int = DEFAULT_K,
               w: int = DEFAULT_W, min_shared: int = 1):
     """Yield (read_id, contig_id, shared_minimizer_count) triples.

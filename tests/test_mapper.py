@@ -108,3 +108,18 @@ def test_bulk_pipeline_with_internal_mapper(tmp_path):
         _os.chdir(cwd)
     rec = list(fasta.read_seqs(out))[0]
     assert rec.seq == truth
+
+
+def test_minimizer_sketch_jax_matches_host():
+    """Device minimizer selection (reduce_window identity) must pick the
+    same positions/hashes as the host sliding-window argmin (64-bit hashes
+    make ties — the only possible divergence — vanishingly improbable)."""
+    from goldpolish_tpu import mapper
+
+    rng = np.random.default_rng(21)
+    for n, k, w in ((5000, 24, 100), (1200, 16, 32), (300, 24, 100)):
+        seq = "".join(rng.choice(list("ACGT")) for _ in range(n))
+        pos_h, h_h = mapper.minimizer_sketch(seq, k, w)
+        pos_j, h_j = mapper.minimizer_sketch_jax(seq, k, w)
+        assert np.array_equal(pos_h, pos_j), (n, k, w)
+        assert np.array_equal(h_h, h_j)
