@@ -294,29 +294,38 @@ class _BidiSearch:
         else:
             self.trav[self.REVERSE].setdefault(u, []).append(v)
 
-    def run(self):
+    def _init_run(self):
         F, R = self.FORWARD, self.REVERSE
-        q = [[self.start], [self.goal]]
+        import collections
+
         self.color[F][self.start] = 1
         self.color[R][self.goal] = 1
         # discover_vertex for the two seeds
-        for dirn in (F, R):
+        for _dirn in (F, R):
             self.nodes_visited += 1
-            self.peak_branches = max(self.peak_branches, len(q[dirn]) + 1)
-        dirn = F
-        import collections
+            self.peak_branches = max(self.peak_branches, 2)
+        self._q = [collections.deque([self.start]), collections.deque([self.goal])]
+        self._dirn = F
+        self._started = True
 
-        q = [collections.deque([self.start]), collections.deque([self.goal])]
-        prefetch = getattr(self.dbg, "prefetch", None)
+    def run_while_cached(self) -> bool:
+        """Advance the search until it completes (True) or pops a vertex
+        whose probes are not yet in the DBG cache (False — the vertex is
+        pushed back; call again after prefetching).  The processing order
+        is identical to run(): prefetch timing cannot change outcomes
+        because graph membership is pure."""
+        F, R = self.FORWARD, self.REVERSE
+        if not getattr(self, "_started", False):
+            self._init_run()
+        q = self._q
+        is_cached = getattr(self.dbg, "is_cached", None)
         while q[F] or q[R]:
+            dirn = self._dirn
             Q = q[dirn]
             u = Q.popleft()
-            if prefetch is not None and not self.dbg.is_cached(u, dirn == F):
-                # batch the whole live frontier (both directions) into one
-                # device call; membership is pure, so outcomes are identical
-                succs = [u, *q[F]] if dirn == F else list(q[F])
-                preds = [u, *q[R]] if dirn == R else list(q[R])
-                prefetch(succs, preds)
+            if is_cached is not None and not self.dbg.is_cached(u, dirn == F):
+                Q.appendleft(u)
+                return False
             edges = (
                 [(u, v) for v in self.dbg.successors(u)]
                 if dirn == F
@@ -324,12 +333,29 @@ class _BidiSearch:
             )
             for (eu, ev) in edges:
                 if not self._visit_edge(dirn, eu, ev, q):
-                    return
+                    return True
             self.color[dirn][u] = 2
             if dirn == R and q[F]:
-                dirn = F
+                self._dirn = F
             elif dirn == F and q[R]:
-                dirn = R
+                self._dirn = R
+        return True
+
+    def frontier(self) -> tuple[list[str], list[str]]:
+        """(successor-wanting, predecessor-wanting) vertices currently
+        queued — the prefetch set for the next lockstep round."""
+        if not getattr(self, "_started", False):
+            return [self.start], [self.goal]
+        return list(self._q[self.FORWARD]), list(self._q[self.REVERSE])
+
+    def run(self):
+        F, R = self.FORWARD, self.REVERSE
+        prefetch = getattr(self.dbg, "prefetch", None)
+        while not self.run_while_cached():
+            # batch the whole live frontier (both directions) into one
+            # device call; membership is pure, so outcomes are identical
+            succs, preds = self.frontier()
+            prefetch(succs, preds)
 
     def _visit_edge(self, dirn, u, v, q) -> bool:
         """Returns False to abort the whole search."""
@@ -500,19 +526,19 @@ class ConnectPairsParams:
     max_read_mismatches: int = NO_LIMIT
 
 
-def connect_pairs(dbg: DBG, read1: str, read2: str, params: ConnectPairsParams) -> SearchResult:
-    """reference konnector.h:234-438 (fixErrors/preserveReads both false in
-    the sealer pipeline)."""
-    from . import nw
-
+def _prepare_search(dbg: DBG, read1: str, read2: str,
+                    params: ConnectPairsParams):
+    """Anchor selection + search construction (the front half of
+    connect_pairs).  Returns (res, search) — search is None when the result
+    is already decided (short reads, missing anchor, identical anchors)."""
     k = dbg.k
     res = SearchResult()
     if len(read1) < k or len(read2) < k:
-        return res
+        return res, None
     start_pos = get_start_kmer_pos(dbg, read1, 3)
     goal_pos = get_start_kmer_pos(dbg, read2, 3)
     if start_pos == NO_MATCH or goal_pos == NO_MATCH:
-        return res
+        return res, None
     res.found_start = res.found_goal = True
     res.start_kmer_pos = start_pos
     res.goal_kmer_pos = goal_pos
@@ -526,25 +552,36 @@ def connect_pairs(dbg: DBG, read1: str, read2: str, params: ConnectPairsParams) 
         len(read1) - k + 1 - start_pos,
         len(read2) - k + 1 - goal_pos,
     )
+    # special case: identical start/goal kmer is an immediate single-node path
+    if start_kmer == goal_kmer:
+        res.path_result = "FOUND_PATH"
+        return res, None
     search = _BidiSearch(
         dbg, start_kmer, goal_kmer, params.max_paths, min_path_len,
         max_path_len, params.max_branches, params.max_cost,
     )
-    # special case: identical start/goal kmer is an immediate single-node path
-    if start_kmer == goal_kmer:
-        res.path_result = "FOUND_PATH"
-        paths = [[start_kmer]]
-    else:
-        search.run()
+    return res, search
+
+
+def _finish_search(dbg: DBG, res: SearchResult, search, read1: str,
+                   read2: str) -> SearchResult:
+    """Path enumeration + consensus (the back half of connect_pairs).
+    `search` is a completed _BidiSearch, or None for the decided cases."""
+    from . import nw
+
+    k = dbg.k
+    if search is not None:
         res.cost = search.cost
         res.num_nodes_visited = search.nodes_visited
         res.max_active_branches = search.peak_branches
         res.path_result, paths = search.paths_to_goal()
+    elif res.path_result == "FOUND_PATH":
+        paths = [[read1[res.start_kmer_pos : res.start_kmer_pos + k]]]
     if res.path_result != "FOUND_PATH":
         return res
 
-    seq_prefix = read1[:start_pos]
-    seq_suffix = revcomp(read2[:goal_pos])
+    seq_prefix = read1[: res.start_kmer_pos]
+    seq_suffix = revcomp(read2[: res.goal_kmer_pos])
     connecting = [path_to_seq(p, k) for p in paths]
     if len(connecting) == 1:
         merged = seq_prefix + connecting[0] + seq_suffix
@@ -559,3 +596,40 @@ def connect_pairs(dbg: DBG, read1: str, read2: str, params: ConnectPairsParams) 
         res.consensus = merged
         res.merged_seqs = [seq_prefix + c + seq_suffix for c in connecting]
     return res
+
+
+def connect_pairs(dbg: DBG, read1: str, read2: str, params: ConnectPairsParams) -> SearchResult:
+    """reference konnector.h:234-438 (fixErrors/preserveReads both false in
+    the sealer pipeline)."""
+    res, search = _prepare_search(dbg, read1, read2, params)
+    if search is not None:
+        search.run()
+    return _finish_search(dbg, res, search, read1, read2)
+
+
+def connect_pairs_batch(dbg: DBG, pairs: list[tuple[str, str]],
+                        params: ConnectPairsParams) -> list[SearchResult]:
+    """connect_pairs over many gaps with LOCKSTEP searches: every active
+    search advances until it needs uncached probes, then one DeviceDBG
+    prefetch covers the union of all frontiers — the cross-gap batching
+    SURVEY §7.5 prescribes.  Each search's processing order is untouched,
+    so per-gap results are identical to serial connect_pairs (pinned by
+    tests).  With a host DBG every search completes on its first
+    run_while_cached call and this degenerates to the serial loop."""
+    prepared = [_prepare_search(dbg, r1, r2, params) for r1, r2 in pairs]
+    active = [(i, s) for i, (_res, s) in enumerate(prepared) if s is not None]
+    prefetch = getattr(dbg, "prefetch", None)
+    while active:
+        if prefetch is not None:
+            want_s: list[str] = []
+            want_p: list[str] = []
+            for _i, s in active:
+                fs, fp = s.frontier()
+                want_s += fs
+                want_p += fp
+            prefetch(want_s, want_p)
+        active = [(i, s) for i, s in active if not s.run_while_cached()]
+    return [
+        _finish_search(dbg, res, s, pairs[i][0], pairs[i][1])
+        for i, (res, s) in enumerate(prepared)
+    ]

@@ -28,7 +28,9 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 
 from ..utils.log import get_logger
-from .konnector import DBG, ConnectPairsParams, NO_LIMIT, connect_pairs, revcomp
+from .konnector import (
+    DBG, ConnectPairsParams, NO_LIMIT, connect_pairs_batch, revcomp,
+)
 
 log = get_logger("sealer")
 
@@ -172,13 +174,26 @@ def seal_records(records, bfs_by_k: dict[int, object], cfg: SealerConfig,
         )
         counters = {c: 0 for c in COUNTER_NAMES}
         closed_keys = []
+        # collect the k-round's work list in the reference's sorted order,
+        # run all searches in lockstep (cross-gap device batching with
+        # DeviceDBG; degenerates to the serial loop on the host DBG), then
+        # consume the per-gap results in the same order
+        work = [
+            (key1, key2)
+            for key1 in sorted(flanks)
+            for key2 in sorted(flanks[key1])
+        ]
+        results = connect_pairs_batch(
+            dbg, [(k1[1], k2[1]) for k1, k2 in work], params
+        )
+        res_by_keys = {keys: r for keys, r in zip(work, results)}
         for key1 in sorted(flanks):
             read1_id, read1_seq = key1
             success = False
             for key2 in sorted(flanks[key1]):
                 read2_id, read2_seq = key2
                 gap = flanks[key1][key2]
-                res = connect_pairs(dbg, read1_seq, read2_seq, params)
+                res = res_by_keys[(key1, key2)]
                 counters[_classify(res)] += 1
                 if trace_out is not None:
                     trace_out.append({

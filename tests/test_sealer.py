@@ -181,3 +181,30 @@ def test_seal_records_jax_backend_matches_host():
     )
     assert out_j == out_h
     assert stats_j == stats_h
+
+
+def test_connect_pairs_batch_matches_serial():
+    """Lockstep batched searches must give per-gap results identical to
+    serial connect_pairs, for both host and device DBGs."""
+    rng = np.random.default_rng(12)
+    truth = _genome(rng, 4000)
+    bf = _bf_from(truth)
+    params = konnector.ConnectPairsParams(
+        max_merged_seq_len=300, max_paths=10, max_branches=1000,
+        max_cost=100000,
+    )
+    pairs = []
+    for s in range(100, 3600, 500):
+        left = truth[s : s + 64]
+        right = konnector.revcomp(truth[s + 120 : s + 184])
+        pairs.append((left, right))
+    serial = [konnector.connect_pairs(konnector.DBG(bf, K), r1, r2, params)
+              for r1, r2 in pairs]
+    for dbg in (konnector.DBG(bf, K), konnector.DeviceDBG(bf, K)):
+        batch = konnector.connect_pairs_batch(dbg, pairs, params)
+        for s, b in zip(serial, batch):
+            assert b.path_result == s.path_result
+            assert b.merged_seqs == s.merged_seqs
+            assert b.consensus == s.consensus
+            assert b.cost == s.cost
+            assert b.num_nodes_visited == s.num_nodes_visited
