@@ -138,3 +138,116 @@ class BFBuilder:
                     codes, self.hash_num, self.k_values, kmer_threshold, cbfs, bfs
                 )
         return BatchBFs(self.k_values, cbfs, bfs)
+
+    def build_batch_device(self, target_ids: list[str],
+                           chunk_elems: int = 32_000_000) -> BatchBFs:
+        """Fast-mode device BF build (SURVEY §7.2: hash->scatter).
+
+        Two device passes per k over the chosen reads: (1) scatter-add all
+        k-mer occurrences into an int32 counter array, (2) promote k-mers
+        whose min counter reaches the per-k escalating threshold into the
+        bit array.  DEVIATION from the host/native fill (documented, like
+        autoscale_bf): scatter-add counts upper-bound conservative-update
+        counts and promotion ignores occurrence order, so the resulting
+        filter is a slight SUPERSET of the reference fill's (every
+        host-promoted k-mer is device-promoted; a few extra k-mers near
+        the threshold may join).  Use on co-located chips where fill
+        bandwidth beats the host; the host path stays the exactness
+        anchor.  Reads are hashed in padded [B, L] buckets of at most
+        chunk_elems window-hash elements per pass.  When targets in a
+        batch have different adaptive thresholds (rare: thresholds vary
+        with mapped-bases, which the batch shares a regime of), the batch
+        MINIMUM applies — also superset-consistent.
+        """
+        import jax
+        import jax.numpy as jnp
+
+        from .ops import bloom_jax, nthash_jax
+
+        h = self.hash_num
+        cbf_size = self.cbf_bytes  # one int32 counter per reference counter
+
+        def count_chunk(counters, codes, lens, k: int):
+            base = nthash_jax.canonical_hashes(codes, k)  # [B, nw]
+            hashes = nthash_jax.multi_hashes(base, k, h)  # [B, nw, h]
+            nw = base.shape[-1]
+            valid = jnp.arange(nw)[None, :] <= (lens[:, None] - k)
+            idx = (hashes.reshape(-1) % jnp.uint64(cbf_size)).astype(jnp.int32)
+            idx = jnp.where(jnp.repeat(valid.reshape(-1), h), idx, cbf_size)
+            return counters.at[idx].add(1, mode="drop")
+
+        def promote_chunk(words, counters, codes, lens, k: int, thresh: int,
+                          bits: int):
+            base = nthash_jax.canonical_hashes(codes, k)
+            hashes = nthash_jax.multi_hashes(base, k, h)
+            nw = base.shape[-1]
+            valid = jnp.arange(nw)[None, :] <= (lens[:, None] - k)
+            cidx = (hashes % jnp.uint64(cbf_size)).astype(jnp.int32)
+            counts = counters[cidx].min(axis=-1)
+            promote = valid & (counts >= thresh)
+            return words | bloom_jax.build_words(
+                bits, hashes.reshape(-1, h), mask=promote.reshape(-1)
+            )
+
+        count_jit = jax.jit(count_chunk, static_argnums=(3,))
+        promote_jit = jax.jit(promote_chunk, static_argnums=(4, 5, 6))
+
+        bf_bytes = self.bf_bytes
+        if self.autoscale_bf:
+            total = sum(self.target_index.get_seq_len(t) for t in target_ids)
+            while bf_bytes < total * 2:
+                bf_bytes *= 2
+        bits = bf_bytes * 8
+
+        # chosen reads + per-target thresholds (same subsample logic as the
+        # host path); the batch-min threshold applies (see docstring)
+        chosen_reads: list[bytes] = []
+        thresholds: list[int] = []
+        for target_id in target_ids:
+            target_len = self.target_index.get_seq_len(target_id)
+            mappings = self.all_mappings.get_mappings(target_id)
+            if not mappings:
+                continue
+            num_max = int(float(target_len) * self.subsample / 10_000.0)
+            num = min(len(mappings), num_max)
+            by_phred = sorted(
+                mappings,
+                key=lambda rid: (-self.mapped_index.get_phred_avg(rid), rid),
+            )
+            chosen = by_phred[:num]
+            mapped_bases = sum(self.mapped_index.get_seq_len(r) for r in chosen)
+            kmer_threshold = mappings_bases_to_kmer_threshold(mapped_bases)
+            if kmer_threshold <= 0:
+                raise ValueError("k-mer threshold must be > 0")
+            thresholds.append(kmer_threshold)
+            chosen_reads.extend(self.mapped_index.get_seq(r) for r in chosen)
+
+        def chunks():
+            if not chosen_reads:
+                return
+            L = max(64, 1 << (max(len(s) for s in chosen_reads) - 1).bit_length())
+            B = max(1, chunk_elems // (L * h))
+            for i in range(0, len(chosen_reads), B):
+                grp = chosen_reads[i : i + B]
+                codes = np.zeros((len(grp), L), np.uint8)
+                lens = np.zeros(len(grp), np.int32)
+                for r, s in enumerate(grp):
+                    codes[r, : len(s)] = np.frombuffer(s, np.uint8)
+                    lens[r] = len(s)
+                yield jnp.asarray(codes), jnp.asarray(lens)
+
+        base_thresh = min(thresholds) if thresholds else 0
+        bfs = []
+        for ki, k in enumerate(self.k_values):
+            counters = jnp.zeros(cbf_size, jnp.int32)
+            for codes, lens in chunks():
+                counters = count_jit(counters, codes, lens, k)
+            words = jnp.zeros(bits // 32, jnp.uint32)
+            if base_thresh:
+                eff = base_thresh - 2 + ki
+                for codes, lens in chunks():
+                    words = promote_jit(words, counters, codes, lens, k, eff, bits)
+            bf = bloom.BloomFilter(bf_bytes, h, k)
+            bf.array[:] = np.asarray(words).view(np.uint8)
+            bfs.append(bf)
+        return BatchBFs(self.k_values, [], bfs)
