@@ -63,6 +63,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--process-pool", action="store_true",
                    help="Fork-pool batch workers (host backend; scales "
                         "past the GIL like the reference's worker processes)")
+    # hidden reference flags (reference scripts/goldpolish:158-183)
+    p.add_argument("--sensitive", default=True, help=argparse.SUPPRESS)
+    p.add_argument("--benchmark", action="store_true", help=argparse.SUPPRESS)
+    p.add_argument("--target_dev", action="store_true", help=argparse.SUPPRESS)
     return p
 
 
@@ -95,6 +99,9 @@ def args_to_config(args) -> PipelineConfig:
         flank_length=args.length,
         bed=args.bed or "",
         softmask=args.softmask,
+        sensitive=args.sensitive in (True, "True", "true", "1"),
+        benchmark=args.benchmark,
+        target_dev=args.target_dev,
     )
     return cfg
 

@@ -67,6 +67,10 @@ class PipelineConfig:
     flank_length: int = 64  # -l
     bed: str = ""
     softmask: bool = False
+    # hidden reference flags (reference :158-183, argparse.SUPPRESS)
+    sensitive: bool = True  # --sensitive: ntLink sensitive mapping params
+    benchmark: bool = False  # --benchmark: per-stage wall-time reporting
+    target_dev: bool = False  # --target_dev: keep targeted-mode intermediates
 
     NTLINK_SUBSAMPLE_DEFAULT: float = 100.0  # reference :54
     MINIMAP2_SUBSAMPLE_DEFAULT: float = 40.0  # reference :55

@@ -236,8 +236,26 @@ def insert_polished_gaps(fasta_path: str, gaps_path: str, out_path: str):
 
 # --- driver ------------------------------------------------------------------
 def run_targeted(cfg: PipelineConfig) -> dict:
-    """Full targeted pipeline (reference smk target rule)."""
+    """Full targeted pipeline (reference smk target rule).
+
+    Stage wall times are logged with cfg.benchmark (the reference wraps
+    each snakemake rule in memusg/time -v, smk:29-37); intermediates are
+    deleted unless cfg.target_dev (reference goldpolish-target.py cleanup
+    of INTERMEDIATE_* files, kept with --target_dev)."""
+    import time as _time
+
     from . import bulk
+
+    t_start = _time.monotonic()
+    marks: list[tuple[str, float]] = []
+
+    def mark(stage: str):
+        marks.append((stage, _time.monotonic()))
+        if cfg.benchmark and len(marks) > 1:
+            log.info(
+                "benchmark: %s %.2fs", marks[-2][0],
+                marks[-1][1] - marks[-2][1],
+            )
 
     prefix = os.path.join(
         os.path.dirname(os.path.abspath(cfg.output_seqs)) or ".",
@@ -247,6 +265,7 @@ def run_targeted(cfg: PipelineConfig) -> dict:
     remapped_paf = f"{prefix}.gaps.paf"
     polished_gaps = f"{prefix}.gaps.goldpolished.fa"
 
+    mark("extract_seq")
     n_gaps = extract_gaps(
         cfg.seqs_to_polish, gaps_fa, cfg.flank_length, cfg.bed
     )
@@ -259,6 +278,7 @@ def run_targeted(cfg: PipelineConfig) -> dict:
         return {"gaps": 0}
 
     # mappings for the whole assembly (provided or external mapper)
+    mark("map")
     if cfg.mappings_path:
         mapping = cfg.mappings_path
     elif _mapper_available(cfg):
@@ -268,6 +288,7 @@ def run_targeted(cfg: PipelineConfig) -> dict:
             "targeted mode needs --mappings (PAF), or ntLink/minimap2 on PATH"
         )
 
+    mark("update_mapping_paf")
     trees = build_gap_index(gaps_fa)
     update_paf(mapping, trees, remapped_paf)
 
@@ -282,9 +303,22 @@ def run_targeted(cfg: PipelineConfig) -> dict:
         subsample_max_reads_per_10kbp=100.0,
         mx_max_reads_per_10kbp=150.0,
     )
+    mark("run_goldpolish")
     bulk.run_bulk(sub_cfg)
 
+    mark("post_processing")
     insert_polished_gaps(cfg.seqs_to_polish, polished_gaps, cfg.output_seqs)
+    mark("done")
+    if not cfg.target_dev:
+        for p in (gaps_fa, remapped_paf, polished_gaps):
+            try:
+                os.remove(p)
+            except OSError:
+                pass
+    if cfg.benchmark:
+        log.info(
+            "benchmark: targeted total %.2fs", _time.monotonic() - t_start
+        )
     log.info("targeted polishing done -> %s", cfg.output_seqs)
     return {"gaps": n_gaps}
 
@@ -311,7 +345,8 @@ def _run_external_mapper(cfg) -> str:
         return out
     subprocess.run(
         ["ntLink", "pair", f"target={cfg.seqs_to_polish}",
-         f"reads={cfg.polishing_seqs}", "sensitive=True", "dev=True",
+         f"reads={cfg.polishing_seqs}", f"sensitive={cfg.sensitive}",
+         "dev=True",
          f"k={cfg.k_ntlink}", f"w={cfg.w_ntlink}", f"t={cfg.threads}",
          "paf=True"],
         check=True,

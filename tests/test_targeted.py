@@ -150,3 +150,46 @@ def test_targeted_no_gaps_passthrough(tmp_path):
     res = targeted.run_targeted(cfg)
     assert res["gaps"] == 0
     assert list(fasta.read_seqs(out))[0].seq == "ACGT" * 100
+
+
+def test_target_dev_keeps_intermediates(tmp_path):
+    """Intermediates are removed by default (reference goldpolish-target.py
+    INTERMEDIATE_* cleanup) and kept with target_dev."""
+    import glob
+    import os
+
+    rng = np.random.default_rng(5)
+    truth = "".join(rng.choice(list("ACGT")) for _ in range(3000))
+    d = list(truth)
+    d[1500] = "A" if d[1500] != "A" else "C"
+    draft = "".join(d)
+    draft_sm = draft[:1200] + draft[1200:1800].lower() + draft[1800:]
+    draft_path = str(tmp_path / "draft.fa")
+    fasta.write_fasta(draft_path, [fasta.SeqRecord("c1", "", draft_sm)])
+    reads_path = str(tmp_path / "reads.fq")
+    paf_path = str(tmp_path / "map.paf")
+    with open(reads_path, "w") as rf, open(paf_path, "w") as pf:
+        rn = 0
+        for rep in range(8):
+            for s in range(0, 3000, 500):
+                e = min(3000, s + 1000)
+                if e - s < 300:
+                    continue
+                rf.write(f"@r{rn}\n{truth[s:e]}\n+\n{'I' * (e - s)}\n")
+                pf.write(
+                    f"r{rn}\t{e-s}\t0\t{e-s}\t+\tc1\t3000\t{s}\t{e}\t{e-s}\t{e-s}\t60\n"
+                )
+                rn += 1
+    for dev, expect in ((False, 0), (True, 3)):
+        out = str(tmp_path / f"out{int(dev)}.fa")
+        cfg = PipelineConfig(
+            seqs_to_polish=draft_path, polishing_seqs=reads_path,
+            output_seqs=out, k_values=[32, 28], mappings_path=paf_path,
+            target=True, flank_length=64, workspace=str(tmp_path),
+            target_dev=dev, benchmark=True,
+        )
+        targeted.run_targeted(cfg)
+        work = glob.glob(str(tmp_path / "GoldPolish-Target_work*"))
+        assert len(work) == expect, (dev, work)
+        for p in work:
+            os.remove(p)
