@@ -146,3 +146,58 @@ def test_walker_lowercase_and_iupac():
     out_n, recs_n, _ = native.polish_contig(draft, bf, cfg, _tables(cfg))
     assert out_n == out_o
     assert recs_n == recs_o
+
+
+def test_walker_randomized_config_soak():
+    """Randomized configs: k/h variants, jump 2-4, x/y vs X/Y accept modes,
+    reduced indel caps, FP-heavy filters, IUPAC noise, lowercase stretches —
+    walker must match the oracle byte-for-byte on every one."""
+    rng = np.random.default_rng(123)
+    for trial in range(15):
+        k = int(rng.choice([20, 24, 28, 32, 40]))
+        h = int(rng.choice([3, 4, 5]))
+        n = int(rng.integers(2000, 6000))
+        truth = "".join(rng.choice(list("ACGT"), n))
+        bf = bloom.BloomFilter(int(rng.choice([1 << 15, 1 << 17])), h, k)
+        bf.insert(
+            nt.multi_hashes(nt.canonical_hashes(nt.encode(truth), k), k, h)
+        )
+        d = list(truth)
+        n_err = int(rng.integers(5, 30))
+        for p in sorted(
+            rng.choice(np.arange(k, n - k), n_err, replace=False)
+        )[::-1]:
+            kind = int(rng.integers(0, 4))
+            if kind == 0:
+                d[p] = "ACGT"[int(rng.integers(4))]
+            elif kind == 1:
+                d[p] = ""
+            elif kind == 2:
+                d.insert(p, "ACGT"[int(rng.integers(4))])
+            else:
+                d[p] = "RYKMN"[int(rng.integers(5))]
+        if rng.random() < 0.5:
+            a = int(rng.integers(0, n // 2))
+            b = a + int(rng.integers(20, 200))
+            for i in range(a, min(b, len(d))):
+                if d[i]:
+                    d[i] = d[i].lower()
+        draft = "".join(d).encode()
+        cfg = ne.Config(
+            k=k, h=h,
+            use_ratio=bool(rng.integers(2)),
+            mode=int(rng.choice([0, 1, 2])),
+            mask=int(rng.integers(2)),
+            max_insertions=int(rng.choice([1, 3, 5])),
+            max_deletions=int(rng.choice([1, 3, 5])),
+            missing_threshold=float(rng.choice([3.0, 5.0, 9.0])),
+            edit_threshold=float(rng.choice([6.0, 9.0])),
+            jump=int(rng.choice([2, 3, 4])),
+        )
+        out_o, recs_o, ed_o = ne.polish_contig(draft, bf, cfg)
+        out_n, recs_n, ed_n = native.polish_contig(draft, bf, cfg, _tables(cfg))
+        assert out_n == out_o, (trial, k, h, cfg.mode)
+        assert recs_n == recs_o, (trial,)
+        assert (ed_n.n_subs, ed_n.n_ins, ed_n.n_dels, ed_n.n_masked) == (
+            ed_o.n_subs, ed_o.n_ins, ed_o.n_dels, ed_o.n_masked,
+        )
