@@ -102,11 +102,7 @@ class BFBuilder:
         bits per expected distinct k-mer, power-of-two sized for the fast
         masked probe; set autoscale_bf=False for strict reference parity.
         """
-        bf_bytes = self.bf_bytes
-        if self.autoscale_bf:
-            total = sum(self.target_index.get_seq_len(t) for t in target_ids)
-            while bf_bytes < total * 2:  # 2 bytes = 16 bits per expected k-mer
-                bf_bytes *= 2
+        bf_bytes = self._batch_bf_bytes(target_ids)
         cbfs = [
             bloom.CountingBloomFilter8(self.cbf_bytes, self.hash_num, k)
             for k in self.k_values
@@ -115,6 +111,30 @@ class BFBuilder:
             bloom.BloomFilter(bf_bytes, self.hash_num, k)
             for k in self.k_values
         ]
+        for _target_id, chosen, kmer_threshold in self._choose_reads(target_ids):
+            for rid in chosen:
+                seq = self.mapped_index.get_seq(rid)
+                codes = np.frombuffer(seq, np.uint8)
+                self._fill(
+                    codes, self.hash_num, self.k_values, kmer_threshold, cbfs, bfs
+                )
+        return BatchBFs(self.k_values, cbfs, bfs)
+
+    def _batch_bf_bytes(self, target_ids: list[str]) -> int:
+        bf_bytes = self.bf_bytes
+        if self.autoscale_bf:
+            total = sum(self.target_index.get_seq_len(t) for t in target_ids)
+            while bf_bytes < total * 2:  # 2 bytes = 16 bits per expected k-mer
+                bf_bytes *= 2
+        return bf_bytes
+
+    def _choose_reads(self, target_ids: list[str]):
+        """Per-target (target_id, chosen_read_ids, kmer_threshold) with the
+        reference's subsample rules (serve_batch,
+        goldpolish_targeted_bfs.cpp:96-123): truncating per-10kbp cap,
+        phred-desc/id-asc sort, adaptive threshold regression.  Shared by
+        the host and device builds so the read sets cannot desynchronize."""
+        out = []
         for target_id in target_ids:
             target_len = self.target_index.get_seq_len(target_id)
             mappings = self.all_mappings.get_mappings(target_id)
@@ -131,13 +151,8 @@ class BFBuilder:
             kmer_threshold = mappings_bases_to_kmer_threshold(mapped_bases)
             if kmer_threshold <= 0:
                 raise ValueError("k-mer threshold must be > 0")
-            for rid in chosen:
-                seq = self.mapped_index.get_seq(rid)
-                codes = np.frombuffer(seq, np.uint8)
-                self._fill(
-                    codes, self.hash_num, self.k_values, kmer_threshold, cbfs, bfs
-                )
-        return BatchBFs(self.k_values, cbfs, bfs)
+            out.append((target_id, chosen, kmer_threshold))
+        return out
 
     def build_batch_device(self, target_ids: list[str],
                            chunk_elems: int = 32_000_000) -> BatchBFs:
@@ -192,60 +207,49 @@ class BFBuilder:
         count_jit = jax.jit(count_chunk, static_argnums=(3,))
         promote_jit = jax.jit(promote_chunk, static_argnums=(4, 5, 6))
 
-        bf_bytes = self.bf_bytes
-        if self.autoscale_bf:
-            total = sum(self.target_index.get_seq_len(t) for t in target_ids)
-            while bf_bytes < total * 2:
-                bf_bytes *= 2
+        bf_bytes = self._batch_bf_bytes(target_ids)
         bits = bf_bytes * 8
 
-        # chosen reads + per-target thresholds (same subsample logic as the
-        # host path); the batch-min threshold applies (see docstring)
+        # chosen reads + per-target thresholds (shared _choose_reads logic);
+        # the batch-min threshold applies (see docstring)
         chosen_reads: list[bytes] = []
         thresholds: list[int] = []
-        for target_id in target_ids:
-            target_len = self.target_index.get_seq_len(target_id)
-            mappings = self.all_mappings.get_mappings(target_id)
-            if not mappings:
-                continue
-            num_max = int(float(target_len) * self.subsample / 10_000.0)
-            num = min(len(mappings), num_max)
-            by_phred = sorted(
-                mappings,
-                key=lambda rid: (-self.mapped_index.get_phred_avg(rid), rid),
-            )
-            chosen = by_phred[:num]
-            mapped_bases = sum(self.mapped_index.get_seq_len(r) for r in chosen)
-            kmer_threshold = mappings_bases_to_kmer_threshold(mapped_bases)
-            if kmer_threshold <= 0:
-                raise ValueError("k-mer threshold must be > 0")
+        for _tid, chosen, kmer_threshold in self._choose_reads(target_ids):
             thresholds.append(kmer_threshold)
             chosen_reads.extend(self.mapped_index.get_seq(r) for r in chosen)
 
-        def chunks():
-            if not chosen_reads:
-                return
-            L = max(64, 1 << (max(len(s) for s in chosen_reads) - 1).bit_length())
+        # pad + upload once (sorted by length so buckets pad to their own
+        # max, not the global one); reused across both passes and every k
+        chosen_reads.sort(key=len)
+        chunks: list[tuple] = []
+        i = 0
+        while i < len(chosen_reads):
+            L = max(64, 1 << (len(chosen_reads[i]) - 1).bit_length())
             B = max(1, chunk_elems // (L * h))
-            for i in range(0, len(chosen_reads), B):
-                grp = chosen_reads[i : i + B]
-                codes = np.zeros((len(grp), L), np.uint8)
-                lens = np.zeros(len(grp), np.int32)
-                for r, s in enumerate(grp):
-                    codes[r, : len(s)] = np.frombuffer(s, np.uint8)
-                    lens[r] = len(s)
-                yield jnp.asarray(codes), jnp.asarray(lens)
+            # length-sorted: the first longer-than-L read starts the next bucket
+            j = i
+            grp = []
+            while j < len(chosen_reads) and len(grp) < B and len(chosen_reads[j]) <= L:
+                grp.append(chosen_reads[j])
+                j += 1
+            codes = np.zeros((len(grp), L), np.uint8)
+            lens = np.zeros(len(grp), np.int32)
+            for r, s in enumerate(grp):
+                codes[r, : len(s)] = np.frombuffer(s, np.uint8)
+                lens[r] = len(s)
+            chunks.append((jnp.asarray(codes), jnp.asarray(lens)))
+            i = j
 
         base_thresh = min(thresholds) if thresholds else 0
         bfs = []
         for ki, k in enumerate(self.k_values):
             counters = jnp.zeros(cbf_size, jnp.int32)
-            for codes, lens in chunks():
+            for codes, lens in chunks:
                 counters = count_jit(counters, codes, lens, k)
             words = jnp.zeros(bits // 32, jnp.uint32)
             if base_thresh:
                 eff = base_thresh - 2 + ki
-                for codes, lens in chunks():
+                for codes, lens in chunks:
                     words = promote_jit(words, counters, codes, lens, k, eff, bits)
             bf = bloom.BloomFilter(bf_bytes, h, k)
             bf.array[:] = np.asarray(words).view(np.uint8)

@@ -64,7 +64,17 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Fork-pool batch workers (host backend; scales "
                         "past the GIL like the reference's worker processes)")
     # hidden reference flags (reference scripts/goldpolish:158-183)
-    p.add_argument("--sensitive", default=True, help=argparse.SUPPRESS)
+    def _str2bool(v):
+        if isinstance(v, bool):
+            return v
+        if v.lower() in ("true", "1", "yes"):
+            return True
+        if v.lower() in ("false", "0", "no"):
+            return False
+        raise argparse.ArgumentTypeError(f"boolean expected, got {v!r}")
+
+    p.add_argument("--sensitive", type=_str2bool, default=True,
+                   help=argparse.SUPPRESS)
     p.add_argument("--benchmark", action="store_true", help=argparse.SUPPRESS)
     p.add_argument("--target_dev", action="store_true", help=argparse.SUPPRESS)
     return p
@@ -99,7 +109,7 @@ def args_to_config(args) -> PipelineConfig:
         flank_length=args.length,
         bed=args.bed or "",
         softmask=args.softmask,
-        sensitive=args.sensitive in (True, "True", "true", "1"),
+        sensitive=args.sensitive,
         benchmark=args.benchmark,
         target_dev=args.target_dev,
     )

@@ -1341,6 +1341,9 @@ void make_edit_c(WalkCtx& w, uint8_t draft, const Best& best) {
         }
         skipped_repeat = true;
       } else {
+        // NOTE: no break on a repeat hit — the oracle (and reference
+        // ntedit.cpp:1071-1100) keeps prepending and may roll back and
+        // re-anchor more than once in this loop
         std::string prev_l = prev;
         for (size_t wi = 0; wi < indel.size(); wi++) {
           prev_l.insert(prev_l.begin(),
@@ -1355,7 +1358,6 @@ void make_edit_c(WalkCtx& w, uint8_t draft, const Best& best) {
               w.char_in = kmer[k - 1];
             }
             skipped_repeat = true;
-            break;
           }
         }
       }

@@ -244,8 +244,6 @@ def run_targeted(cfg: PipelineConfig) -> dict:
     of INTERMEDIATE_* files, kept with --target_dev)."""
     import time as _time
 
-    from . import bulk
-
     t_start = _time.monotonic()
     marks: list[tuple[str, float]] = []
 
@@ -264,6 +262,27 @@ def run_targeted(cfg: PipelineConfig) -> dict:
     gaps_fa = f"{prefix}.gaps.fa"
     remapped_paf = f"{prefix}.gaps.paf"
     polished_gaps = f"{prefix}.gaps.goldpolished.fa"
+    try:
+        return _run_targeted_inner(
+            cfg, gaps_fa, remapped_paf, polished_gaps, mark, marks, t_start
+        )
+    finally:
+        # intermediates go unless --target_dev (reference
+        # goldpolish-target.py INTERMEDIATE_* cleanup), on every exit path
+        # including the zero-gap early return and errors
+        if not cfg.target_dev:
+            for p in (gaps_fa, remapped_paf, polished_gaps):
+                try:
+                    os.remove(p)
+                except OSError:
+                    pass
+
+
+def _run_targeted_inner(cfg: PipelineConfig, gaps_fa: str, remapped_paf: str,
+                        polished_gaps: str, mark, marks, t_start) -> dict:
+    import time as _time
+
+    from . import bulk
 
     mark("extract_seq")
     n_gaps = extract_gaps(
@@ -309,12 +328,6 @@ def run_targeted(cfg: PipelineConfig) -> dict:
     mark("post_processing")
     insert_polished_gaps(cfg.seqs_to_polish, polished_gaps, cfg.output_seqs)
     mark("done")
-    if not cfg.target_dev:
-        for p in (gaps_fa, remapped_paf, polished_gaps):
-            try:
-                os.remove(p)
-            except OSError:
-                pass
     if cfg.benchmark:
         log.info(
             "benchmark: targeted total %.2fs", _time.monotonic() - t_start

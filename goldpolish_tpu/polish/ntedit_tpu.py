@@ -386,6 +386,11 @@ class NtEditTPU:
 
         if self._device_eval or _os.environ.get("GPTPU_NO_NATIVE_WALK"):
             return False
+        cfg = self.cfg
+        # gp_polish_contig's compiled limits; outside them the two-phase
+        # engine (numpy/jax eval fallbacks) handles the config
+        if cfg.k > 64 or cfg.h > 16 or cfg.max_deletions > 7 or cfg.max_insertions > 5:
+            return False
         try:
             from .. import native
 

@@ -201,3 +201,60 @@ def test_walker_randomized_config_soak():
         assert (ed_n.n_subs, ed_n.n_ins, ed_n.n_dels, ed_n.n_masked) == (
             ed_o.n_subs, ed_o.n_ins, ed_o.n_dels, ed_o.n_masked,
         )
+
+
+def test_walker_repeat_guard_heavy():
+    """Low-complexity runs (homopolymers, dinucleotide repeats) with indel
+    errors inside them drive the repeat-insertion guard — including the
+    multi-rollback prepend loop (the oracle keeps scanning after a repeat
+    hit; reference ntedit.cpp:1071-1100 has no break)."""
+    rng = np.random.default_rng(17)
+    for trial in range(8):
+        parts = []
+        n = 0
+        while n < 4000:
+            if rng.random() < 0.3:
+                unit = ["A", "AT", "AG", "CT", "AAT"][int(rng.integers(5))]
+                run = unit * int(rng.integers(10, 40))
+                parts.append(run)
+            else:
+                parts.append("".join(rng.choice(list("ACGT"), 200)))
+            n += len(parts[-1])
+        truth = "".join(parts)[:4000]
+        bf = _bf_from(truth, 1 << 17)
+        d = list(truth)
+        for p in sorted(rng.choice(np.arange(K, 3900 - K), 25, replace=False))[::-1]:
+            kind = int(rng.integers(3))
+            if kind == 0:
+                d[p] = ""
+            elif kind == 1:
+                del d[p : p + int(rng.integers(1, 4))]
+            else:
+                d[p] = "ACGT"[int(rng.integers(4))]
+        draft = "".join(d).encode()
+        for mode in (0, 1):
+            cfg = ne.Config(k=K, h=H, use_ratio=True, mode=mode, mask=1)
+            out_o, recs_o, _ = ne.polish_contig(draft, bf, cfg)
+            out_n, recs_n, _ = native.polish_contig(draft, bf, cfg, _tables(cfg))
+            assert out_n == out_o, (trial, mode)
+            assert recs_n == recs_o, (trial, mode)
+
+
+def test_unsupported_config_falls_back_to_python_engine():
+    """Configs outside gp_polish_contig's limits (k>64, max_del>7) must
+    still polish through the two-phase engine, not crash."""
+    from goldpolish_tpu.polish.ntedit_tpu import NtEditTPU
+
+    rng = np.random.default_rng(2)
+    k = 96
+    truth = "".join(rng.choice(list("ACGT")) for _ in range(3000))
+    bf = bloom.BloomFilter(1 << 17, H, k)
+    bf.insert(nt.multi_hashes(nt.canonical_hashes(nt.encode(truth), k), k, H))
+    d = list(truth)
+    d[1500] = "A" if d[1500] != "A" else "C"
+    draft = "".join(d).encode()
+    cfg = ne.Config(k=k, h=H, use_ratio=True, mode=1, mask=1)
+    out_o, recs_o, _ = ne.polish_contig(draft, bf, cfg)
+    out_e, recs_e, _ = NtEditTPU(cfg, bf).polish_contig(draft)
+    assert out_e == out_o
+    assert recs_e == recs_o
