@@ -406,7 +406,16 @@ struct RollState {
   bool probe(const uint8_t* bf, uint64_t bits, uint32_t k, uint32_t m) const {
     uint64_t hs[16];
     multi_hash(fh + rh, k, m, hs);
-    return bf_contains(bf, bits, hs, m);
+    // prefetch all slots before the first dependent read (an all-present
+    // tuple otherwise pays m chained miss latencies)
+    uint64_t b[16];
+    for (uint32_t i = 0; i < m; i++) {
+      b[i] = bf_reduce(hs[i], bits);
+      __builtin_prefetch(&bf[b[i] >> 3], 0, 3);
+    }
+    for (uint32_t i = 0; i < m; i++)
+      if (!((bf[b[i] >> 3] >> (b[i] & 7)) & 1)) return false;
+    return true;
   }
 };
 
