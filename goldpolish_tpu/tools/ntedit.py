@@ -59,9 +59,28 @@ def main(argv=None):
     )
     recs_in = list(fasta.read_seqs(args.draft))
     if args.snv or secbf is not None:
-        results = [
-            ne.polish_contig(r.seq.encode(), bf, cfg, secbf) for r in recs_in
-        ]
+        # SNV stays on the oracle; the secondary-BF veto runs through the
+        # native walk when available (byte-identical, differentially
+        # tested) and falls back to the oracle otherwise
+        def _polish_one(seq: bytes):
+            if not args.snv:
+                try:
+                    from .. import native
+                    from ..ops import siteeval
+
+                    if cfg.k <= 64 and cfg.h <= 16 and cfg.max_deletions <= 7:
+                        tables = siteeval.make_tables(
+                            cfg.k, cfg.jump, cfg.max_insertions,
+                            cfg.max_deletions,
+                        )
+                        return native.polish_contig(
+                            seq, bf, cfg, tables, bloomrep=secbf
+                        )
+                except Exception:  # noqa: BLE001 — no native lib
+                    pass
+            return ne.polish_contig(seq, bf, cfg, secbf)
+
+        results = [_polish_one(r.seq.encode()) for r in recs_in]
         outs = [(out, recs) for out, recs, _ed in results]
     else:
         eng = NtEditTPU(cfg, bf, backend=args.backend)

@@ -80,3 +80,35 @@ def test_mask_and_to_upper_tools(tmp_path):
     upper_tool.main([masked, upped])
     u = next(iter(fasta.read_seqs(upped))).seq
     assert u == u.upper()
+
+
+def test_ntedit_tool_secbf_walker_matches_oracle(tmp_path):
+    """--secbf routes through the native walk (when available) and must
+    byte-match the oracle's secondary-veto output."""
+    from goldpolish_tpu.ops import bloom, nthash as nt
+    from goldpolish_tpu.polish import ntedit_oracle as ne
+
+    rng = np.random.default_rng(13)
+    truth = "".join(rng.choice(list("ACGT")) for _ in range(5000))
+    d = list(truth)
+    for p in range(200, 4800, 401):
+        d[p] = "ACGT"[("ACGT".index(d[p]) + 1) % 4]
+    draft_s = "".join(d)
+    bf = bloom.BloomFilter(1 << 17, 4, 32)
+    bf.insert(nt.multi_hashes(nt.canonical_hashes(nt.encode(truth), 32), 32, 4))
+    sec = bloom.BloomFilter(1 << 15, 4, 32)
+    sec.insert(
+        nt.multi_hashes(nt.canonical_hashes(nt.encode(truth[:1500]), 32), 32, 4)
+    )
+    bf_path = str(tmp_path / "p.bf")
+    sec_path = str(tmp_path / "s.bf")
+    bf.save(bf_path)
+    sec.save(sec_path)
+    draft = str(tmp_path / "d.fa")
+    open(draft, "w").write(f">c1\n{draft_s}\n")
+    out = str(tmp_path / "o.fa")
+    ntedit_tool.main([draft, bf_path, out, "--secbf", sec_path, "-m1", "-a1"])
+    got = list(fasta.read_seqs(out))[0].seq
+    cfg = ne.Config(k=32, h=4, use_ratio=True, mode=1, mask=1)
+    want, _recs, _ed = ne.polish_contig(draft_s.encode(), bf, cfg, sec)
+    assert got.encode() == want
