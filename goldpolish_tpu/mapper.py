@@ -42,8 +42,32 @@ def _window_hashes(codes: np.ndarray, k: int) -> np.ndarray:
         return nt.canonical_hashes(codes, k)
 
 
+_U64_MAX = np.uint64(0xFFFFFFFFFFFFFFFF)
+
+
+def _sliding_extreme(h: np.ndarray, w: int, minimum: bool) -> np.ndarray:
+    """O(n) sliding min/max over width-w windows (van Herk/Gil-Werman:
+    per-block prefix + suffix scans; window [i, i+w) extreme =
+    op(suffix[i], prefix[i+w-1]))."""
+    n = len(h)
+    op = np.minimum if minimum else np.maximum
+    fill = _U64_MAX if minimum else np.uint64(0)
+    nb = -(-n // w)
+    hp = np.full(nb * w, fill, h.dtype)
+    hp[:n] = h
+    blocks = hp.reshape(nb, w)
+    pre = op.accumulate(blocks, axis=1).reshape(-1)
+    suf = op.accumulate(blocks[:, ::-1], axis=1)[:, ::-1].reshape(-1)
+    return op(suf[: n - w + 1], pre[w - 1 : n])
+
+
 def minimizer_sketch(seq: str | bytes, k: int = DEFAULT_K, w: int = DEFAULT_W):
-    """(positions, hashes) of the (k, w)-minimizers of seq."""
+    """(positions, hashes) of the (k, w)-minimizers of seq.
+
+    Selection identity (shared with the device sketch, _sketch_jax_fn):
+    position i is a minimizer iff max over the windows covering i of the
+    per-window min equals h[i].  O(n) via two van Herk passes — the naive
+    per-window argmin is O(n*w) and dominated whole-assembly mapping."""
     codes = nt.encode(seq) if isinstance(seq, str) else np.frombuffer(seq, np.uint8)
     n = len(codes)
     if n < k:
@@ -53,11 +77,19 @@ def minimizer_sketch(seq: str | bytes, k: int = DEFAULT_K, w: int = DEFAULT_W):
     if nw <= w:
         pos = np.array([int(np.argmin(h))], np.int64)
         return pos, h[pos]
-    sw = np.lib.stride_tricks.sliding_window_view(h, w)
-    mins = sw.min(axis=1)
-    argm = sw.argmin(axis=1) + np.arange(nw - w + 1)
-    pos = np.unique(argm)
-    return pos.astype(np.int64), h[pos]
+    try:
+        from . import native
+
+        mask = native.minimizer_select(h, w)
+    except Exception:  # noqa: BLE001 — numpy fallback
+        wmin = _sliding_extreme(h, w, minimum=True)  # [nw-w+1]
+        # pad so index i covers wmin[i-w+1 .. i] (covering windows)
+        padded = np.concatenate([
+            np.zeros(w - 1, np.uint64), wmin, np.zeros(w - 1, np.uint64),
+        ])
+        mask = _sliding_extreme(padded, w, minimum=False) == h
+    pos = np.nonzero(mask)[0].astype(np.int64)
+    return pos, h[pos]
 
 
 _SKETCH_JAX = None

@@ -16,6 +16,7 @@
 //
 // Build: see build.py (g++ -O3 -shared -fPIC -fopenmp).
 
+#include <algorithm>
 #include <cstdint>
 #include <cstdlib>
 #include <cstdio>
@@ -302,6 +303,56 @@ int gp_fill_bfs(const uint8_t* seq, int64_t seq_len, uint32_t hash_num,
     }
   }
   return 0;
+}
+
+// Minimizer selection over all-window hashes (mapper.minimizer_sketch's
+// identity): out[i] = 1 iff max over windows covering i of the per-window
+// min equals h[i].  Two O(n) van Herk passes (block prefix/suffix scans).
+void gp_minimizer_select(const uint64_t* h, int64_t n, int32_t w,
+                         uint8_t* out) {
+  if (n <= 0) return;
+  if (n <= w) {
+    // single window: first argmin
+    int64_t best = 0;
+    for (int64_t i = 1; i < n; i++)
+      if (h[i] < h[best]) best = i;
+    std::memset(out, 0, n);
+    out[best] = 1;
+    return;
+  }
+  const int64_t nw = n - w + 1;  // windows
+  std::vector<uint64_t> wmin(nw);
+  {
+    std::vector<uint64_t> pre(n), suf(n);
+    for (int64_t b = 0; b < n; b += w) {
+      const int64_t e = std::min(b + w, n);
+      pre[b] = h[b];
+      for (int64_t i = b + 1; i < e; i++)
+        pre[i] = std::min(pre[i - 1], h[i]);
+      suf[e - 1] = h[e - 1];
+      for (int64_t i = e - 2; i >= b; i--)
+        suf[i] = std::min(suf[i + 1], h[i]);
+    }
+    for (int64_t i = 0; i < nw; i++)
+      wmin[i] = std::min(suf[i], pre[i + w - 1]);
+  }
+  // cover_max[i] = max of wmin[j], j in [i-w+1, i] ∩ [0, nw)
+  const int64_t np_ = nw + 2 * (w - 1);
+  std::vector<uint64_t> pad(np_, 0), pre(np_), suf(np_);
+  std::copy(wmin.begin(), wmin.end(), pad.begin() + (w - 1));
+  for (int64_t b = 0; b < np_; b += w) {
+    const int64_t e = std::min(b + w, np_);
+    pre[b] = pad[b];
+    for (int64_t i = b + 1; i < e; i++)
+      pre[i] = std::max(pre[i - 1], pad[i]);
+    suf[e - 1] = pad[e - 1];
+    for (int64_t i = e - 2; i >= b; i--)
+      suf[i] = std::max(suf[i + 1], pad[i]);
+  }
+  for (int64_t i = 0; i < n; i++) {
+    const uint64_t cm = std::max(suf[i], pre[i + w - 1]);
+    out[i] = (cm == h[i]) ? 1 : 0;
+  }
 }
 
 // Batched membership probe: hashes[n * hash_num] against a plain BF.
