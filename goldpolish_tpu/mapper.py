@@ -72,22 +72,23 @@ def minimizer_sketch(seq: str | bytes, k: int = DEFAULT_K, w: int = DEFAULT_W):
     n = len(codes)
     if n < k:
         return np.zeros(0, np.int64), np.zeros(0, np.uint64)
+    try:
+        from . import native
+
+        return native.sketch(codes, k, w)  # hash + select in one call
+    except Exception:  # noqa: BLE001 — numpy fallback
+        pass
     h = _window_hashes(codes, k)
     nw = len(h)
     if nw <= w:
         pos = np.array([int(np.argmin(h))], np.int64)
         return pos, h[pos]
-    try:
-        from . import native
-
-        mask = native.minimizer_select(h, w)
-    except Exception:  # noqa: BLE001 — numpy fallback
-        wmin = _sliding_extreme(h, w, minimum=True)  # [nw-w+1]
-        # pad so index i covers wmin[i-w+1 .. i] (covering windows)
-        padded = np.concatenate([
-            np.zeros(w - 1, np.uint64), wmin, np.zeros(w - 1, np.uint64),
-        ])
-        mask = _sliding_extreme(padded, w, minimum=False) == h
+    wmin = _sliding_extreme(h, w, minimum=True)  # [nw-w+1]
+    # pad so index i covers wmin[i-w+1 .. i] (covering windows)
+    padded = np.concatenate([
+        np.zeros(w - 1, np.uint64), wmin, np.zeros(w - 1, np.uint64),
+    ])
+    mask = _sliding_extreme(padded, w, minimum=False) == h
     pos = np.nonzero(mask)[0].astype(np.int64)
     return pos, h[pos]
 
@@ -157,26 +158,47 @@ def map_reads(target_records, read_records, k: int = DEFAULT_K,
               w: int = DEFAULT_W, min_shared: int = 1):
     """Yield (read_id, contig_id, shared_minimizer_count) triples.
 
-    target_records / read_records: iterables of (id, seq).
+    target_records / read_records: iterables of (id, seq).  The index is a
+    sorted hash array with a parallel contig-index column; per read, one
+    searchsorted + bincount replaces millions of dict probes.
     """
-    index: dict[int, list[str]] = {}
-    n_contigs = 0
+    idx_hashes = []
+    idx_cids = []
+    cid_names: list[str] = []
     for cid, seq in target_records:
-        n_contigs += 1
+        ci = len(cid_names)
+        cid_names.append(cid)
         _, hashes = minimizer_sketch(seq, k, w)
-        for hv in np.unique(hashes):
-            index.setdefault(int(hv), []).append(cid)
-    log.info("mapper: indexed %d contigs, %d distinct minimizers",
-             n_contigs, len(index))
+        uh = np.unique(hashes)
+        idx_hashes.append(uh)
+        idx_cids.append(np.full(len(uh), ci, np.int32))
+    all_h = np.concatenate(idx_hashes) if idx_hashes else np.zeros(0, np.uint64)
+    all_c = np.concatenate(idx_cids) if idx_cids else np.zeros(0, np.int32)
+    order = np.argsort(all_h, kind="stable")
+    all_h = all_h[order]
+    all_c = all_c[order]
+    log.info("mapper: indexed %d contigs, %d minimizer entries",
+             len(cid_names), len(all_h))
+    n_c = len(cid_names)
     for rid, seq in read_records:
         _, hashes = minimizer_sketch(seq, k, w)
-        counts: dict[str, int] = {}
-        for hv in hashes:
-            for cid in index.get(int(hv), ()):
-                counts[cid] = counts.get(cid, 0) + 1
-        for cid, cnt in counts.items():
-            if cnt >= min_shared:
-                yield rid, cid, cnt
+        if not len(hashes) or not len(all_h):
+            continue
+        lo = np.searchsorted(all_h, hashes, side="left")
+        hi = np.searchsorted(all_h, hashes, side="right")
+        spans = hi - lo
+        hit = spans > 0
+        if not hit.any():
+            continue
+        # expand matched spans (a hash shared by several contigs yields one
+        # entry per contig) and count per contig
+        starts = np.repeat(lo[hit], spans[hit])
+        offs = np.arange(len(starts)) - np.repeat(
+            np.cumsum(spans[hit]) - spans[hit], spans[hit]
+        )
+        counts = np.bincount(all_c[starts + offs], minlength=n_c)
+        for ci in np.nonzero(counts >= min_shared)[0]:
+            yield rid, cid_names[ci], int(counts[ci])
 
 
 def write_mapping_tsv(target_fasta: str, reads_path: str, out_tsv: str,

@@ -132,6 +132,30 @@ def bf_contains(bf, hashes: np.ndarray) -> np.ndarray:
     return out.astype(bool)
 
 
+def sketch(seq_codes: np.ndarray, k: int, w: int):
+    """(positions, hashes) minimizer sketch in one native call (all-window
+    canonical hashing + cover-max selection; see mapper.minimizer_sketch)."""
+    L = lib()
+    if not hasattr(L, "gp_sketch_configured"):
+        L.gp_sketch.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64, ctypes.c_uint32,
+            ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_uint64),
+        ]
+        L.gp_sketch.restype = ctypes.c_int64
+        L.gp_sketch_configured = True
+    seq_codes = np.ascontiguousarray(seq_codes, np.uint8)
+    nw = max(0, len(seq_codes) - k + 1)
+    pos = np.empty(nw, np.int64)
+    hashes = np.empty(nw, np.uint64)
+    m = L.gp_sketch(
+        _u8ptr(seq_codes), len(seq_codes), k, w,
+        pos.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        hashes.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+    )
+    return pos[:m].copy(), hashes[:m].copy()
+
+
 def minimizer_select(hashes: np.ndarray, w: int) -> np.ndarray:
     """Bool mask of minimizer positions over all-window hashes (the
     cover-max identity; see mapper.minimizer_sketch)."""

@@ -680,6 +680,36 @@ int64_t gp_clean_run(
   return m;
 }
 
+// One-call minimizer sketch: canonical-hash every k-window of seq, run
+// gp_minimizer_select over them, and emit the selected windows' hashes +
+// positions.  Returns the number of minimizers (<= n_windows).
+int64_t gp_sketch(const uint8_t* seq, int64_t n, uint32_t k, int32_t w,
+                  int64_t* pos_out, uint64_t* hash_out) {
+  if (n < (int64_t)k) return 0;
+  const int64_t nw = n - (int64_t)k + 1;
+  std::vector<uint64_t> h(nw);
+  {
+    RollState st;
+    st.seed(seq, k);
+    h[0] = st.fh + st.rh;
+    for (int64_t i = 1; i < nw; i++) {
+      st.roll(seq[i - 1], seq[i + k - 1], k);
+      h[i] = st.fh + st.rh;
+    }
+  }
+  std::vector<uint8_t> mask(nw);
+  gp_minimizer_select(h.data(), nw, w, mask.data());
+  int64_t m = 0;
+  for (int64_t i = 0; i < nw; i++) {
+    if (mask[i]) {
+      pos_out[m] = i;
+      hash_out[m] = h[i];
+      m++;
+    }
+  }
+  return m;
+}
+
 // Seed the forward/reverse rolling-hash state of one k-window (the scalar
 // ntc64_base recurrence, nthash.hpp) — used by the engine when re-anchoring
 // the walk at a hot site.
