@@ -16,3 +16,22 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_num_cpu_devices", 8)
+
+
+def pytest_sessionstart(session):
+    """Fail the whole run loudly when the native .so does not build.
+
+    Most modules fall back to slow NumPy paths silently, so a compile
+    error would otherwise show up only as mysterious slowness while every
+    test still passes (it happened: a mid-file symbol-order bug cost an
+    entire perf investigation).  GPTPU_NATIVE_OPTIONAL=1 restores the
+    lenient behavior for environments without a toolchain.
+    """
+    if os.environ.get("GPTPU_NATIVE_OPTIONAL"):
+        return
+    from goldpolish_tpu import native
+
+    try:
+        native.lib()
+    except native.NativeUnavailable as e:
+        raise RuntimeError(f"native build failed (broken commit?): {e}") from e
