@@ -22,6 +22,8 @@ for long reads) but with the pipeline's own k.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 from .ops import nthash as nt
@@ -180,16 +182,18 @@ def map_reads(target_records, read_records, k: int = DEFAULT_K,
     log.info("mapper: indexed %d contigs, %d minimizer entries",
              len(cid_names), len(all_h))
     n_c = len(cid_names)
-    for rid, seq in read_records:
+
+    def map_one(item):
+        rid, seq = item
         _, hashes = minimizer_sketch(seq, k, w)
         if not len(hashes) or not len(all_h):
-            continue
+            return ()
         lo = np.searchsorted(all_h, hashes, side="left")
         hi = np.searchsorted(all_h, hashes, side="right")
         spans = hi - lo
         hit = spans > 0
         if not hit.any():
-            continue
+            return ()
         # expand matched spans (a hash shared by several contigs yields one
         # entry per contig) and count per contig
         starts = np.repeat(lo[hit], spans[hit])
@@ -197,8 +201,23 @@ def map_reads(target_records, read_records, k: int = DEFAULT_K,
             np.cumsum(spans[hit]) - spans[hit], spans[hit]
         )
         counts = np.bincount(all_c[starts + offs], minlength=n_c)
-        for ci in np.nonzero(counts >= min_shared)[0]:
-            yield rid, cid_names[ci], int(counts[ci])
+        return [
+            (rid, cid_names[ci], int(counts[ci]))
+            for ci in np.nonzero(counts >= min_shared)[0]
+        ]
+
+    # thread pool: the native sketch call releases the GIL, so reads
+    # overlap; executor.map preserves input order (deterministic output)
+    import concurrent.futures
+
+    n_threads = min(4, os.cpu_count() or 1)
+    if n_threads > 1:
+        with concurrent.futures.ThreadPoolExecutor(n_threads) as ex:
+            for triples in ex.map(map_one, read_records, chunksize=16):
+                yield from triples
+    else:
+        for item in read_records:
+            yield from map_one(item)
 
 
 def write_mapping_tsv(target_fasta: str, reads_path: str, out_tsv: str,
