@@ -56,6 +56,9 @@ class PipelineConfig:
 
     # new-framework knobs (no reference equivalent)
     backend: str = "numpy"  # "jax" on TPU hosts, "numpy" otherwise
+    # fast-mode device Bloom build (jax backend only; slight-superset
+    # filter — see BFBuilder.build_batch_device)
+    device_bf_build: bool = False
     checkpoint: str = ""  # manifest path for preemption-safe resume
     max_concurrent_batches: int = 4
     run_sealer: bool = True

@@ -137,7 +137,12 @@ def polish_batch_records(records, builder: BFBuilder, cfg: PipelineConfig) -> Ba
     ids = [h.split()[0] for h, _ in records]
     timing: dict = {}
     t0 = _time.monotonic()
-    batch_bfs = builder.build_batch(ids)
+    if cfg.device_bf_build and cfg.backend == "jax":
+        # fast-mode device build (superset filter, documented deviation;
+        # in-process only — fork-pool workers never run the jax backend)
+        batch_bfs = builder.build_batch_device(ids)
+    else:
+        batch_bfs = builder.build_batch(ids)
     timing["bf_build_s"] = round(_time.monotonic() - t0, 3)
     stats: dict = {"timing": timing}
     # 1. multi-k ntEdit with rollback guard

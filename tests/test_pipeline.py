@@ -156,3 +156,20 @@ def test_bulk_pipeline_process_pool(tmp_path):
     bulk.run_bulk(PipelineConfig(output_seqs=out1, **base))
     bulk.run_bulk(PipelineConfig(output_seqs=out2, process_pool=True, **base))
     assert open(out1).read() == open(out2).read()
+
+
+def test_bulk_pipeline_device_bf_build(tmp_path):
+    """jax backend + device fast-mode BF build: full recovery through the
+    superset filter (see BFBuilder.build_batch_device)."""
+    draft, reads, paf, truths = _write_synthetic(tmp_path)
+    out = str(tmp_path / "polished_dev.fa")
+    cfg = PipelineConfig(
+        seqs_to_polish=draft, polishing_seqs=reads, output_seqs=out,
+        k_values=[32, 28], batch_size=2, mappings_path=paf,
+        workspace=str(tmp_path), max_concurrent_batches=1,
+        backend="jax", device_bf_build=True,
+    )
+    totals = bulk.run_bulk(cfg)
+    assert totals["contigs"] == 3
+    for r, t in zip(fasta.read_seqs(out), truths):
+        assert r.seq.rstrip("Nn") == t.strip("N"), f"{r.id} not recovered"
