@@ -207,14 +207,22 @@ def map_reads(target_records, read_records, k: int = DEFAULT_K,
         ]
 
     # thread pool: the native sketch call releases the GIL, so reads
-    # overlap; executor.map preserves input order (deterministic output)
+    # overlap.  Executor.map would submit the WHOLE read iterable up front
+    # (materializing every sequence of a gigabase read set); bounded
+    # islice windows keep memory O(window) while preserving input order.
     import concurrent.futures
+    import itertools
 
     n_threads = min(4, os.cpu_count() or 1)
     if n_threads > 1:
+        reads_it = iter(read_records)
         with concurrent.futures.ThreadPoolExecutor(n_threads) as ex:
-            for triples in ex.map(map_one, read_records, chunksize=16):
-                yield from triples
+            while True:
+                window = list(itertools.islice(reads_it, 64))
+                if not window:
+                    break
+                for triples in ex.map(map_one, window):
+                    yield from triples
     else:
         for item in read_records:
             yield from map_one(item)

@@ -156,26 +156,6 @@ def sketch(seq_codes: np.ndarray, k: int, w: int):
     return pos[:m].copy(), hashes[:m].copy()
 
 
-def minimizer_select(hashes: np.ndarray, w: int) -> np.ndarray:
-    """Bool mask of minimizer positions over all-window hashes (the
-    cover-max identity; see mapper.minimizer_sketch)."""
-    L = lib()
-    if not hasattr(L, "gp_minimizer_select_configured"):
-        L.gp_minimizer_select.argtypes = [
-            ctypes.POINTER(ctypes.c_uint64), ctypes.c_int64, ctypes.c_int32,
-            ctypes.POINTER(ctypes.c_uint8),
-        ]
-        L.gp_minimizer_select.restype = None
-        L.gp_minimizer_select_configured = True
-    hashes = np.ascontiguousarray(hashes, np.uint64)
-    out = np.zeros(len(hashes), np.uint8)
-    L.gp_minimizer_select(
-        hashes.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)), len(hashes),
-        w, _u8ptr(out),
-    )
-    return out.astype(bool)
-
-
 def seqindex_build(seqs_path: str, out_tsv: str) -> None:
     L = lib()
     rc = L.gp_seqindex_build(seqs_path.encode(), out_tsv.encode())

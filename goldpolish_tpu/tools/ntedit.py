@@ -61,23 +61,30 @@ def main(argv=None):
     if args.snv or secbf is not None:
         # SNV stays on the oracle; the secondary-BF veto runs through the
         # native walk when available (byte-identical, differentially
-        # tested) and falls back to the oracle otherwise
-        def _polish_one(seq: bytes):
-            if not args.snv:
-                try:
-                    from .. import native
-                    from ..ops import siteeval
+        # tested) and falls back to the oracle otherwise.  Eligibility +
+        # tables are loop-invariant; the oracle's min_contig_len guard
+        # must be honored here too (the walker has no such guard).
+        native_mod = None
+        native_tables = None
+        if not args.snv and cfg.k <= 64 and cfg.h <= 16 \
+                and cfg.max_deletions <= 7 and cfg.max_insertions <= 5:
+            try:
+                from .. import native as native_mod  # noqa: F811
 
-                    if cfg.k <= 64 and cfg.h <= 16 and cfg.max_deletions <= 7:
-                        tables = siteeval.make_tables(
-                            cfg.k, cfg.jump, cfg.max_insertions,
-                            cfg.max_deletions,
-                        )
-                        return native.polish_contig(
-                            seq, bf, cfg, tables, bloomrep=secbf
-                        )
-                except Exception:  # noqa: BLE001 — no native lib
-                    pass
+                native_mod.lib()
+                from ..ops import siteeval
+
+                native_tables = siteeval.make_tables(
+                    cfg.k, cfg.jump, cfg.max_insertions, cfg.max_deletions
+                )
+            except Exception:  # noqa: BLE001 — no native lib
+                native_mod = None
+
+        def _polish_one(seq: bytes):
+            if native_mod is not None and len(seq) >= cfg.min_contig_len:
+                return native_mod.polish_contig(
+                    seq, bf, cfg, native_tables, bloomrep=secbf
+                )
             return ne.polish_contig(seq, bf, cfg, secbf)
 
         results = [_polish_one(r.seq.encode()) for r in recs_in]

@@ -112,3 +112,26 @@ def test_ntedit_tool_secbf_walker_matches_oracle(tmp_path):
     cfg = ne.Config(k=32, h=4, use_ratio=True, mode=1, mask=1)
     want, _recs, _ed = ne.polish_contig(draft_s.encode(), bf, cfg, sec)
     assert got.encode() == want
+
+
+def test_ntedit_tool_secbf_short_contig_untouched(tmp_path):
+    """Contigs below min_contig_len must pass through unchanged on the
+    --secbf path (the oracle's guard; the native walk has none)."""
+    from goldpolish_tpu.ops import bloom, nthash as nt
+
+    rng = np.random.default_rng(19)
+    truth = "".join(rng.choice(list("ACGT")) for _ in range(2000))
+    short = truth[:80]
+    mutated_short = "A" + short[1:] if short[0] != "A" else "C" + short[1:]
+    bf = bloom.BloomFilter(1 << 16, 4, 32)
+    bf.insert(nt.multi_hashes(nt.canonical_hashes(nt.encode(truth), 32), 32, 4))
+    sec = bloom.BloomFilter(1 << 14, 4, 32)
+    bf_path, sec_path = str(tmp_path / "p.bf"), str(tmp_path / "s.bf")
+    bf.save(bf_path)
+    sec.save(sec_path)
+    draft = str(tmp_path / "d.fa")
+    open(draft, "w").write(f">c1\n{mutated_short}\n>c2\n{truth}\n")
+    out = str(tmp_path / "o.fa")
+    ntedit_tool.main([draft, bf_path, out, "--secbf", sec_path, "-m1", "-a1"])
+    got = list(fasta.read_seqs(out))
+    assert got[0].seq == mutated_short  # below min_contig_len: untouched
