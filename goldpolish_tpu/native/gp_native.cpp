@@ -1195,10 +1195,64 @@ void sub_trial_c(WalkCtx& w, int32_t ci, const Cursor& st, uint64_t fh,
   else if (t_node2.type == 1) t_node2.c = draft;
 }
 
-// oracle try_insertion (reference ntedit.cpp:1276-1331)
-int32_t try_insertion_c(WalkCtx& w, uint8_t draft, uint8_t index_char,
-                        int32_t combo_i, const Cursor& st, uint64_t fh,
-                        uint64_t rh) {
+// Two-phase insertion trial (oracle try_insertion, reference
+// ntedit.cpp:1276-1331): phase A rolls the whole candidate chain —
+// pure compute — recording every probe point's Bloom slot indices and
+// prefetching their cache lines; phase B counts hits from warm cache.
+// Decision-equivalent to the bailed serial chain: counts below the
+// accept threshold are never read by the trial loops (see probes_ahead),
+// and accepted trials never bailed, so exact counts are preserved
+// exactly where the oracle preserves them.  Splitting the phases also
+// lets run_indel_trials_c build combo i+1's plan while combo i's
+// prefetches are still in flight.
+struct ProbePlan {
+  // ceil((k-1)/jump)+1 probe points, k<=64 -> at most 64 points.  The
+  // plan stores only the hash-pair sum per point (multi_hash's out[0] IS
+  // the sum; derived hashes are recomputed lazily when needed), and
+  // prefetches only the first slot's cache line: ~75% of wrong-candidate
+  // probes fail on that first bit, so warming more lines wastes bandwidth.
+  uint64_t sum[64];
+  int32_t np = 0;
+};
+
+inline void plan_add(ProbePlan& p, const WalkCtx& w, uint64_t fh,
+                     uint64_t rh) {
+  const uint64_t s = fh + rh;
+  p.sum[p.np++] = s;
+  __builtin_prefetch(&w.bf[bf_reduce(s, w.bits) >> 3], 0, 3);
+}
+
+// count of probe points passing primary-AND-NOT-secondary (probe_full),
+// bailing once the accept threshold is unreachable (decision-equivalent:
+// counts below the threshold are never read by the trial loops, and
+// accepted chains never bail so their exact counts are preserved).
+inline int32_t plan_count(const ProbePlan& p, const WalkCtx& w,
+                          int32_t bail) {
+  int32_t c = 0;
+  for (int32_t i = 0; i < p.np; i++) {
+    if (c + (p.np - i) < bail) return c;
+    const uint64_t s = p.sum[i];
+    const uint64_t b0 = bf_reduce(s, w.bits);
+    if (!((w.bf[b0 >> 3] >> (b0 & 7)) & 1)) continue;
+    uint64_t hs[16];
+    multi_hash(s, w.k, w.hn_, hs);
+    bool ok = true;
+    for (uint32_t hh = 1; hh < w.hn_; hh++) {
+      const uint64_t b = bf_reduce(hs[hh], w.bits);
+      if (!((w.bf[b >> 3] >> (b & 7)) & 1)) {
+        ok = false;
+        break;
+      }
+    }
+    if (ok && w.bf2 && bf_contains(w.bf2, w.bits2, hs, w.hn_)) ok = false;
+    c += ok;
+  }
+  return c;
+}
+
+void ins_plan_c(WalkCtx& w, uint8_t draft, uint8_t index_char,
+                int32_t combo_i, const Cursor& st, uint64_t fh, uint64_t rh,
+                ProbePlan& p) {
   const uint32_t k = w.k;
   int row = index_char == 'A' ? 0 : index_char == 'C' ? 1
             : index_char == 'G' ? 2 : 3;
@@ -1212,26 +1266,23 @@ int32_t try_insertion_c(WalkCtx& w, uint8_t draft, uint8_t index_char,
   Cursor tmp = st;
   uint64_t tfh = fh, trh = rh;
   hash_changelast(tfh, trh, k, draft, index_char);
-  int32_t check = 0;
+  p.np = 0;
   int32_t kk = 0;
   while (kk < combo_total - 1 && tmp.h < w.n) {
-    if (check + probes_ahead(kk, k - 2, w.jump) < w.bail_edit) return check;
     uint8_t c_out = rope_get_char(w, tmp.h, w.rope[tmp.hn]);
     hash_roll(tfh, trh, k, c_out, combo[kk + 1]);
     rope_increment(w, tmp.h, tmp.hn);
-    if (kk % w.jump == 0 && probe_full(w, tfh, trh)) check++;
+    if (kk % w.jump == 0) plan_add(p, w, tfh, trh);
     kk++;
   }
   while (kk < (int32_t)k - 1 && tmp.h < w.n) {
-    if (check + probes_ahead(kk, k - 2, w.jump) < w.bail_edit) return check;
     uint8_t c_out, c_in;
     if (rope_roll(w, tmp, c_out, c_in)) {
       hash_roll(tfh, trh, k, c_out, c_in);
-      if (kk % w.jump == 0 && probe_full(w, tfh, trh)) check++;
+      if (kk % w.jump == 0) plan_add(p, w, tfh, trh);
     }
     kk++;
   }
-  return check;
 }
 
 // oracle try_deletion (reference ntedit.cpp:1157-1234); cached per d
@@ -1303,8 +1354,14 @@ bool run_indel_trials_c(WalkCtx& w, uint8_t draft, int32_t ci,
   const uint8_t index_char = w.sub_cand[(int)draft * 4 + ci];
   const int row = index_char == 'A' ? 0 : index_char == 'C' ? 1
                   : index_char == 'G' ? 2 : 3;
+  // ping-pong: combo i+1's plan (compute + prefetch) is built while combo
+  // i's prefetched lines are still arriving, so tests run from warm cache
+  ProbePlan plans[2];
+  if (w.n_combos > 0) ins_plan_c(w, draft, index_char, 0, st, fh, rh, plans[0]);
   for (int32_t i = 0; i < w.n_combos; i++) {
-    int32_t check = try_insertion_c(w, draft, index_char, i, st, fh, rh);
+    if (i + 1 < w.n_combos)
+      ins_plan_c(w, draft, index_char, i + 1, st, fh, rh, plans[(i + 1) & 1]);
+    int32_t check = plan_count(plans[i & 1], w, w.bail_edit);
     const uint8_t* cc =
         w.combo_codes + ((int64_t)row * w.n_combos + i) * w.max_ins;
     const int32_t clen = w.combo_len[i];
@@ -1615,19 +1672,64 @@ int gp_polish_contig(
               w.rh = rs.rh;
             }
           } else {
+            // Software-pipelined run: roll a block of windows ahead,
+            // prefetching every window's Bloom slots while later windows
+            // are still hashing, then test from (now-warm) cache.  The
+            // serial roll+probe loop pays ~one memory latency per window
+            // (its h slots probe in parallel but windows are chained);
+            // blocking raises the outstanding-miss count to the hardware
+            // limit.  Probing past the first missing window is harmless —
+            // the BF is read-only and overshoot hashes are discarded.
+            constexpr int B = 32;
+            uint64_t fhs[B], rhs[B];
+            uint64_t slots[B][16];
             RollState rs{w.fh, w.rh};
-            for (int64_t i = 1; i <= lim; i++) {
-              const uint8_t cin = w.seq[st.h + i + k - 1];
-              if (!kTabs.accepted[kTabs.upper[cin]]) break;
-              rs.roll(w.seq[st.h + i - 1], cin, k);
-              m = i;
-              if (!rs.probe(w.bf, w.bits, k, hash_num)) {
-                stopped_missing = 1;
-                break;
+            bool hashes_final = true;  // rs holds the hash at window m
+            int64_t i = 1;
+            while (i <= lim && !stopped_missing) {
+              int nb = 0;
+              while (nb < B && i + nb <= lim) {
+                const uint8_t cin = w.seq[st.h + i + nb + k - 1];
+                if (!kTabs.accepted[kTabs.upper[cin]]) break;
+                rs.roll(w.seq[st.h + i + nb - 1], cin, k);
+                fhs[nb] = rs.fh;
+                rhs[nb] = rs.rh;
+                uint64_t hs[16];
+                multi_hash(rs.fh + rs.rh, k, hash_num, hs);
+                for (uint32_t hh = 0; hh < hash_num; hh++) {
+                  const uint64_t b = bf_reduce(hs[hh], w.bits);
+                  slots[nb][hh] = b;
+                  __builtin_prefetch(&w.bf[b >> 3], 0, 3);
+                }
+                nb++;
               }
+              if (!nb) break;  // non-accepted char at the very next window
+              int j = 0;
+              for (; j < nb; j++) {
+                bool ok = true;
+                for (uint32_t hh = 0; hh < hash_num; hh++) {
+                  const uint64_t b = slots[j][hh];
+                  if (!((w.bf[b >> 3] >> (b & 7)) & 1)) {
+                    ok = false;
+                    break;
+                  }
+                }
+                m = i + j;
+                if (!ok) {
+                  stopped_missing = 1;
+                  hashes_final = false;  // rs rolled past window m
+                  w.fh = fhs[j];
+                  w.rh = rhs[j];
+                  break;
+                }
+              }
+              i += nb;
+              if (nb < B && !stopped_missing) break;  // bad char ended the run
             }
-            w.fh = rs.fh;
-            w.rh = rs.rh;
+            if (hashes_final) {
+              w.fh = rs.fh;
+              w.rh = rs.rh;
+            }
           }
           if (m) {
             st.h += m;
