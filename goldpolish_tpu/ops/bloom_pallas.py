@@ -8,14 +8,12 @@ HBM gathers.  The kernel receives the *low 32 bits* of every derived hash
 low word), gathers the containing u32 words from the VMEM-resident filter,
 tests the bits and AND-reduces across the hash_num axis.
 
-STATUS (round 1): logic validated in interpret mode; on-TPU compilation is
-blocked by Mosaic's dynamic-gather constraints ("multiple source vregs
-along gather dimension" — arbitrary lookups from a 4096-row table exceed
-one vreg).  The production TPU probe path is the XLA gather
-(ops/bloom_jax.probe_words, ~30 M tuple-probes/s on a v5e chip); the
-planned kernel rewrite uses the canonical MXU one-hot int8 matmul lookup
-(split u32 words into 4 byte planes, one-hot row select on the MXU,
-recombine + lane select), which fits Mosaic today.
+STATUS: the take-along-axis kernel (`_probe_kernel`) remains interpret-only
+(Mosaic's dynamic gather cannot span vregs); the PRODUCTION on-TPU kernel is
+the int8 MXU one-hot lookup below (`probe_lo32_mxu_i8`), measured ~2x the
+XLA gather probe at <= 1 MiB filters on a v5e and bit-exact at every size
+via its row-chunked variant.  ops/scan_conv.DeviceScanner picks MXU vs XLA
+gather by filter size.
 
 Fallback: `probe_lo32_reference` is the jnp equivalent used for interpret-
 mode tests and as the non-TPU path.
@@ -24,6 +22,8 @@ mode tests and as the non-TPU path.
 from __future__ import annotations
 
 import functools
+
+import numpy as np
 
 import jax
 import jax.numpy as jnp
@@ -202,6 +202,178 @@ def _probe_lo32_mxu_32(planes, bits: int, lo32):
         out_specs=pl.BlockSpec((MXU_BLOCK, 1), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n_pad, 1), jnp.bool_),
+    )(planes, lo32)
+    return out[:n, 0]
+
+
+# --- int8 MXU one-hot lookup (production kernel) ------------------------------
+# Same one-hot-matmul idea as above, but in int8 (2x the MXU rate of bf16 on
+# v5e: 394 vs 197 TOPS) with offset encoding (byte - 128 fits int8; the
+# one-hot row sums to exactly 1 within the hitting chunk, so adding 128 back
+# under the hit mask is exact), and CHUNKED over plane rows so filters of any
+# size compile: grid = (probe blocks, row chunks); each chunk OR-accumulates
+# the selected word of the probes whose row falls inside it into a VMEM
+# scratch, and the last chunk runs the bit test.  Measured on a v5e: ~2x the
+# XLA gather probe at 512 KiB filters; the gather overtakes past ~1-2 MiB
+# (cost here scales with filter size, the gather's does not) — callers pick
+# by size (ops/scan_conv.DeviceScanner).
+
+MXU_CHUNK_ROWS = 2048  # 1 MiB of filter per chunk (single-chunk fast path)
+
+
+def _select_word(planes, lo_col, row_iota, lane_iota, *, mask, row0,
+                 chunk_rows, masked: bool):
+    """One-hot select the u32 word containing probe bit `lo_col & mask`.
+
+    Returns (word_val [B,1] int32, bitpos [B,1] uint32).  With masked=True,
+    probes whose row falls outside [row0, row0+chunk_rows) contribute 0.
+    """
+    idx = lo_col & jnp.uint32(mask)
+    word_idx = (idx >> jnp.uint32(5)).astype(jnp.int32)
+    row = (word_idx >> 7) - row0
+    col = word_idx & 127
+    one_hot = (row_iota == row).astype(jnp.int8)
+    val = jnp.zeros(row_iota.shape[:1] + (128,), jnp.int32)
+    if masked:
+        hit = jnp.where((row >= 0) & (row < chunk_rows), 128, 0)
+    for byte in range(4):
+        sel = jax.lax.dot_general(
+            one_hot, planes[byte],
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        # undo the -128 offset encoding; for masked chunks only where the
+        # probe's row actually lives in this chunk (one_hot rows sum to 1
+        # there and to 0 elsewhere)
+        sel = sel + (hit if masked else 128)
+        val = val | (sel << (8 * byte))
+    lane_oh = (lane_iota == col).astype(jnp.int32)
+    word_val = (val * lane_oh).sum(axis=1, keepdims=True)  # [B,1]
+    return word_val, idx & jnp.uint32(31)
+
+
+def _probe_mxu_i8_kernel(planes_ref, lo_ref, out_ref, *, mask: int,
+                         hash_num: int):
+    """Single-chunk fast path: whole filter's planes resident in VMEM."""
+    lo = lo_ref[...]  # [B, h] uint32
+    planes = planes_ref[...]
+    b, rows = lo.shape[0], planes.shape[1]
+    row_iota = jax.lax.broadcasted_iota(jnp.int32, (b, rows), 1)
+    lane_iota = jax.lax.broadcasted_iota(jnp.int32, (b, 128), 1)
+    acc = None
+    for hi in range(hash_num):
+        word_val, bitpos = _select_word(
+            planes, lo[:, hi : hi + 1], row_iota, lane_iota,
+            mask=mask, row0=0, chunk_rows=rows, masked=False,
+        )
+        ok = ((word_val.astype(jnp.uint32) >> bitpos) & jnp.uint32(1)) != 0
+        acc = ok if acc is None else (acc & ok)
+    out_ref[...] = acc
+
+
+def _probe_mxu_i8_chunked_kernel(planes_ref, lo_ref, out_ref, acc_ref, *,
+                                 mask: int, hash_num: int, chunk_rows: int,
+                                 n_chunks: int):
+    """Row-chunked variant for filters larger than one VMEM chunk.
+
+    Each probe's row lives in exactly one chunk, so the bit test can run
+    per chunk (non-hit chunks select an all-zero word, testing 0) and the
+    per-hash results OR-accumulate as an h-bit mask in a [B, 1] scratch.
+    """
+    c = pl.program_id(1)
+
+    @pl.when(c == 0)
+    def _():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    lo = lo_ref[...]
+    planes = planes_ref[...]
+    b = lo.shape[0]
+    row_iota = jax.lax.broadcasted_iota(jnp.int32, (b, chunk_rows), 1)
+    lane_iota = jax.lax.broadcasted_iota(jnp.int32, (b, 128), 1)
+    found = jnp.zeros((b, 1), jnp.int32)
+    for hi in range(hash_num):
+        word_val, bitpos = _select_word(
+            planes, lo[:, hi : hi + 1], row_iota, lane_iota,
+            mask=mask, row0=c * chunk_rows, chunk_rows=chunk_rows, masked=True,
+        )
+        bit = ((word_val.astype(jnp.uint32) >> bitpos) & jnp.uint32(1))
+        found = found | (bit.astype(jnp.int32) << hi)
+    acc_ref[...] = acc_ref[...] | found
+
+    @pl.when(c == n_chunks - 1)
+    def _():
+        out_ref[...] = acc_ref[...] == (1 << hash_num) - 1
+
+
+def words_to_planes_i8(words_u32: np.ndarray) -> np.ndarray:
+    """u32 word table -> [4, rows, 128] int8 byte planes, offset by -128."""
+    w2 = np.asarray(words_u32).reshape(-1, 128)
+    return np.stack(
+        [
+            (((w2 >> np.uint32(8 * b)) & np.uint32(0xFF)).astype(np.int32) - 128)
+            .astype(np.int8)
+            for b in range(4)
+        ],
+        axis=0,
+    )
+
+
+def probe_lo32_mxu_i8(planes_i8, bits: int, lo32, interpret: bool = False,
+                      chunk_rows: int | None = None):
+    """Probe [N, h] low-32 hashes via the chunked int8 MXU kernel."""
+    with jax.enable_x64(False):
+        return _probe_lo32_mxu_i8(
+            planes_i8, bits, lo32, interpret, chunk_rows or MXU_CHUNK_ROWS
+        )
+
+
+@functools.partial(jax.jit, static_argnums=(1, 3, 4))
+def _probe_lo32_mxu_i8(planes, bits: int, lo32, interpret: bool,
+                       chunk_rows: int):
+    assert bits & (bits - 1) == 0
+    n, h = lo32.shape
+    rows = planes.shape[1]
+    chunk = min(rows, chunk_rows)
+    n_chunks = -(-rows // chunk)
+    if rows % chunk:
+        planes = jnp.pad(planes, ((0, 0), (0, n_chunks * chunk - rows), (0, 0)))
+    n_pad = -(-n // MXU_BLOCK) * MXU_BLOCK
+    if n_pad != n:
+        lo32 = jnp.pad(lo32, ((0, n_pad - n), (0, 0)))
+    if n_chunks == 1:
+        out = pl.pallas_call(
+            functools.partial(_probe_mxu_i8_kernel, mask=bits - 1, hash_num=h),
+            grid=(n_pad // MXU_BLOCK,),
+            in_specs=[
+                pl.BlockSpec((4, chunk, 128), lambda i: (0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((MXU_BLOCK, h), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((MXU_BLOCK, 1), lambda i: (i, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((n_pad, 1), jnp.bool_),
+            interpret=interpret,
+        )(planes, lo32)
+        return out[:n, 0]
+    out = pl.pallas_call(
+        functools.partial(
+            _probe_mxu_i8_chunked_kernel, mask=bits - 1, hash_num=h,
+            chunk_rows=chunk, n_chunks=n_chunks,
+        ),
+        grid=(n_pad // MXU_BLOCK, n_chunks),
+        in_specs=[
+            pl.BlockSpec((4, chunk, 128), lambda i, c: (0, c, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((MXU_BLOCK, h), lambda i, c: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((MXU_BLOCK, 1), lambda i, c: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_pad, 1), jnp.bool_),
+        scratch_shapes=[pltpu.VMEM((MXU_BLOCK, 1), jnp.int32)],
+        interpret=interpret,
     )(planes, lo32)
     return out[:n, 0]
 

@@ -1,0 +1,226 @@
+"""Fused dense-scan device program: MXU bit-sliced ntHash + Bloom probe.
+
+This is THE TPU formulation of the editor's detection scan (the probe of
+every draft k-mer window, reference: subprojects/ntedit/ntedit.cpp:1414-1486,
+one rolling probe per position).  Two insights make it MXU-shaped:
+
+1.  **The rolling hash is a 1-D convolution over GF(2).**  ntHash's window
+    hash is an XOR of per-position rotated seeds,
+
+        fh(w) = XOR_{j=0..k-1} srol^{k-1-j}( seed(s[w+j]) )
+        rh(w) = XOR_{j=0..k-1} srol^{j}( rcseed(s[w+j]) )
+
+    (see ops/nthash.py for the derivation from the reference recurrences,
+    reference: subprojects/ntedit/lib/nthash.hpp:100-131).  Each output BIT
+    of fh/rh is therefore the parity of a {0,1}-count that is exactly a
+    conv1d between a one-hot encoding of the sequence and a constant kernel
+    of seed bits: counts are <= k <= 64, integers that small are exact in
+    bfloat16, so the whole 64-bit hash of every window rides the MXU as one
+    `lax.conv` with kernel [k, 12, 128] (12 input channels = 4 forward base
+    classes + 8 reverse-complement classes (c&7); 128 outputs = 64 fh bits
+    || 64 rh bits), followed by a parity (&1) and a bit-recombination.
+    Measured on a v5e chip this replaces the u64 prefix-XOR ladder
+    (ops/nthash_jax.py) at ~2.5x the throughput.
+
+2.  **The Bloom probe picks its engine by filter size.**  Filters that fit
+    the one-hot budget (bits <= 2^23, i.e. <= 1 MiB — the reference's
+    per-batch filters are 512 KiB, src/goldpolish_targeted_bfs.cpp:271)
+    probe via the int8 MXU one-hot lookup (ops/bloom_pallas.py), ~2x the
+    XLA gather; larger filters fall back to the XLA gather which is
+    size-independent (~25 M win/s measured).
+
+The whole program — one-hot encode, conv hash, extra hashes, probe,
+bit-pack — compiles to ONE device computation, so a (possibly tunneled)
+chip pays one dispatch per scan chunk.  Output presence bits are packed
+8-per-byte for the d2h transfer.
+
+Exactness: the conv formulation is bit-exact for the FULL byte alphabet
+(lowercase, IUPAC, N, arbitrary bytes) because the 12 input channels carry
+exactly the information the seed tables read: the forward seed is nonzero
+only for [ACGTacgt] (4 classes + zero class) and the reverse-complement
+seed is seedTab[c & 7] (8 classes).  Pinned against the scalar oracle in
+tests/test_scan_conv.py.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from . import nthash as nt
+
+MXU_PROBE_MAX_BITS = 1 << 23  # 1 MiB filter: one-hot probe beats the gather
+
+
+@functools.lru_cache(maxsize=8)
+def _conv_weights(k: int) -> np.ndarray:
+    """Constant conv kernel [k, 12, 128] of rotated-seed bits (float32).
+
+    Channels 0..3: forward classes A,C,G,T (case-folded); channels 4..11:
+    reverse-complement classes c & 7.  Output lanes 0..63 = fh bits,
+    64..127 = rh bits.
+    """
+    w = np.zeros((k, 12, 128), np.float32)
+    fwd = [nt.SEED_A, nt.SEED_C, nt.SEED_G, nt.SEED_T]
+    bit = np.arange(64, dtype=np.uint64)
+    for j in range(k):
+        for c in range(4):
+            v = np.uint64(nt.srol_n(np.uint64(fwd[c]), k - 1 - j))
+            w[j, c, :64] = ((v >> bit) & np.uint64(1)).astype(np.float32)
+        for cc in range(8):
+            v = np.uint64(nt.srol_n(nt.SEED_TAB[cc], j))
+            w[j, 4 + cc, 64:] = ((v >> bit) & np.uint64(1)).astype(np.float32)
+    return w
+
+
+_POW16 = (1 << np.arange(16, dtype=np.int64)).astype(np.float32)
+
+
+def _onehot12(codes: jnp.ndarray) -> jnp.ndarray:
+    """uint8 codes [..., L] -> one-hot [..., L, 12] bf16 (see _conv_weights)."""
+    lo = codes | jnp.uint8(32)  # case fold; non-letters stay non-acgt
+    clsf = jnp.full(codes.shape, 4, jnp.int32)
+    for i, ch in enumerate(b"acgt"):
+        clsf = jnp.where(lo == ch, i, clsf)
+    clsr = (codes & jnp.uint8(7)).astype(jnp.int32)
+    oh_f = (clsf[..., None] == jnp.arange(4, dtype=jnp.int32)).astype(jnp.bfloat16)
+    oh_r = (clsr[..., None] == jnp.arange(8, dtype=jnp.int32)).astype(jnp.bfloat16)
+    return jnp.concatenate([oh_f, oh_r], axis=-1)
+
+
+def _bits_to_u64(bits: jnp.ndarray) -> jnp.ndarray:
+    """[..., 64] {0,1} int32 -> uint64, via four exact 16-bit f32 dots."""
+    g = bits.astype(jnp.float32).reshape(*bits.shape[:-1], 4, 16)
+    vals = jnp.einsum("...gk,k->...g", g, jnp.asarray(_POW16)).astype(jnp.uint32)
+    lo = vals[..., 0] | (vals[..., 1] << jnp.uint32(16))
+    hi = vals[..., 2] | (vals[..., 3] << jnp.uint32(16))
+    return lo.astype(jnp.uint64) | (hi.astype(jnp.uint64) << jnp.uint64(32))
+
+
+def strand_hashes_conv(codes: jnp.ndarray, k: int):
+    """(fh, rh) u64 arrays of every k-window via the MXU conv; codes [B, L]."""
+    x = _onehot12(codes)
+    w = jnp.asarray(_conv_weights(k), jnp.bfloat16)
+    out = jax.lax.conv_general_dilated(
+        x, w, window_strides=(1,), padding="VALID",
+        dimension_numbers=("NWC", "WIO", "NWC"),
+        preferred_element_type=jnp.float32,
+    )  # [B, nw, 128] exact integer counts <= k
+    bits = out.astype(jnp.int32) & 1
+    return _bits_to_u64(bits[..., :64]), _bits_to_u64(bits[..., 64:])
+
+
+def canonical_hashes_conv(codes: jnp.ndarray, k: int) -> jnp.ndarray:
+    """Canonical (fh + rh, wrapping u64) hash of every window; codes [B, L]."""
+    fh, rh = strand_hashes_conv(codes, k)
+    return fh + rh
+
+
+def _multi_lo32(base: jnp.ndarray, k: int, h: int) -> jnp.ndarray:
+    """Low 32 bits of all h derived hashes (nthash.hpp:261-266); trailing
+    axis h.  Power-of-two filters only read the low word."""
+    outs = [base]
+    for i in range(1, h):
+        mult = jnp.uint64(i) ^ (jnp.uint64(k) * jnp.uint64(int(nt.MULTI_SEED)))
+        t = base * mult
+        outs.append(t ^ (t >> jnp.uint64(nt.MULTI_SHIFT)))
+    hs = jnp.stack(outs, axis=-1)
+    return (hs & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32)
+
+
+def _pack_bits(pres: jnp.ndarray) -> jnp.ndarray:
+    """bool [..., n] -> uint8 [..., ceil(n/8)] little-endian bit packing."""
+    n = pres.shape[-1]
+    pad = (-n) % 8
+    if pad:
+        pres = jnp.pad(pres, [(0, 0)] * (pres.ndim - 1) + [(0, pad)])
+    b = pres.reshape(*pres.shape[:-1], -1, 8).astype(jnp.uint8)
+    weights = jnp.uint8(1) << jnp.arange(8, dtype=jnp.uint8)
+    return (b * weights).sum(axis=-1, dtype=jnp.uint8)
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2, 3))
+def scan_present_packed_gather(words, bits: int, h: int, k: int, codes):
+    """Fused scan, XLA-gather probe (any filter size): codes u8 [B, L] ->
+    packed presence u8 [B, ceil((L-k+1)/8)]."""
+    base = canonical_hashes_conv(codes, k)
+    lo = _multi_lo32(base, k, h)
+    if bits & (bits - 1) == 0:
+        idx = lo & jnp.uint32(bits - 1)
+    else:
+        idx = lo % jnp.uint32(bits)
+    word = words[(idx >> jnp.uint32(5)).astype(jnp.int32)]
+    pres = ((word >> (idx & jnp.uint32(31))) & jnp.uint32(1) != 0).all(axis=-1)
+    return _pack_bits(pres)
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2, 3))
+def scan_present_packed_mxu(planes_i8, bits: int, h: int, k: int, codes):
+    """Fused scan, int8 MXU one-hot probe (bits <= MXU_PROBE_MAX_BITS)."""
+    from . import bloom_pallas
+
+    base = canonical_hashes_conv(codes, k)
+    lo = _multi_lo32(base, k, h)
+    b_dim, nw = lo.shape[0], lo.shape[1]
+    pres = bloom_pallas.probe_lo32_mxu_i8(
+        planes_i8, bits, lo.reshape(-1, h)
+    ).reshape(b_dim, nw)
+    return _pack_bits(pres)
+
+
+class DeviceScanner:
+    """Holds a Bloom filter's device residency and runs fused scans.
+
+    Uploads the filter once (words, plus int8 one-hot planes when the
+    filter fits the MXU probe budget and we are on a real TPU); every
+    `scan_packed` call is one async device computation whose result the
+    caller unpacks with `unpack_present`.
+    """
+
+    def __init__(self, bf, force_probe: str | None = None):
+        self.bits = int(bf.bits)
+        self.h = int(bf.hash_num)
+        self._words = jnp.asarray(bf.words_u32())
+        self._planes = None
+        probe = force_probe
+        if probe is None:
+            on_tpu = jax.devices()[0].platform == "tpu"
+            pow2 = self.bits & (self.bits - 1) == 0
+            probe = (
+                "mxu"
+                if on_tpu and pow2 and self.bits <= MXU_PROBE_MAX_BITS
+                else "gather"
+            )
+        if probe == "mxu":
+            from . import bloom_pallas
+
+            self._planes = jnp.asarray(
+                bloom_pallas.words_to_planes_i8(np.asarray(self._words))
+            )
+        self.probe = probe
+
+    def scan_packed(self, codes: np.ndarray, k: int):
+        """codes u8 [B, L] (host or device) -> device u8 [B, ceil(nw/8)].
+
+        Returns the un-fetched device array (async); np.asarray() it to
+        materialize.
+        """
+        codes = jnp.asarray(codes)
+        if codes.ndim == 1:
+            codes = codes[None, :]
+        if self._planes is not None:
+            return scan_present_packed_mxu(
+                self._planes, self.bits, self.h, k, codes
+            )
+        return scan_present_packed_gather(
+            self._words, self.bits, self.h, k, codes
+        )
+
+    @staticmethod
+    def unpack_present(packed: np.ndarray, nw: int) -> np.ndarray:
+        """Packed u8 row -> bool[nw]."""
+        return np.unpackbits(packed, bitorder="little")[:nw].astype(bool)

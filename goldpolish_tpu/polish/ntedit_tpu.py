@@ -238,6 +238,21 @@ def _pm_worker(i: int):
     return out, recs, EditStats(ed.n_subs, ed.n_ins, ed.n_dels, ed.n_masked)
 
 
+def _pm_walk(seq: bytes, packed_present, nw: int):
+    """Fork-pool walk task for the pipelined path: cfg/BF ride COW via
+    _PM_STATE; the (device-computed) presence bits arrive bit-packed in the
+    task args."""
+    eng = _PM_STATE.get("eng")
+    if eng is None:
+        eng = NtEditTPU(_PM_STATE["cfg"], _PM_STATE["bf"], backend="numpy")
+        _PM_STATE["eng"] = eng
+    pres = None
+    if packed_present is not None:
+        pres = np.unpackbits(packed_present, bitorder="little")[:nw].astype(bool)
+    out, recs, ed = eng.polish_contig(seq, present=pres)
+    return out, recs, EditStats(ed.n_subs, ed.n_ins, ed.n_dels, ed.n_masked)
+
+
 def _find_cuts(present: np.ndarray, k: int, n: int, n_pieces: int) -> list[int]:
     """Byte positions where a contig may be split for independent polishing.
 
@@ -284,6 +299,11 @@ class NtEditTPU:
                  a tunneled chip; the dense scan is the probe majority).
     """
 
+    #: assumed host walk rate (bases/s) for the pipelined-placement bar —
+    #: deliberately generous to the host (clean-data walks measure 3.5-6 M/s;
+    #: noisy batches are far slower, favoring the device further)
+    WALK_RATE_EST = 8e6
+
     def __init__(self, cfg: Config, bf, backend: str = "numpy"):
         if cfg.snv:
             raise NotImplementedError("snv mode: use the oracle editor")
@@ -294,48 +314,47 @@ class NtEditTPU:
             cfg.k, cfg.jump, cfg.max_insertions, cfg.max_deletions
         )
         self._jax = None
+        self._scanner = None
         self._device_eval = backend == "jax"
-        self._mxu_planes = None
-        if backend in ("jax", "hybrid"):
-            import os as _os
-
+        if backend == "jax":
             from ..ops import bloom_jax, siteeval_jax
 
             self._jax = (bloom_jax, siteeval_jax)
             self._words = bloom_jax.to_device_words(bf)
-            if (
-                _os.environ.get("GPTPU_MXU_PROBE") == "1"
-                and int(bf.bits) <= (1 << 23)
-            ):
-                from ..ops import bloom_pallas
+        elif backend == "hybrid":
+            # device runs the fused dense scan (ops/scan_conv: MXU conv hash
+            # + size-adaptive Bloom probe); host runs candidate eval + walk.
+            import os as _os
 
-                self._mxu_planes = bloom_pallas.words_to_planes(self._words)
-            if backend == "hybrid" and not _os.environ.get(
-                "GPTPU_FORCE_DEVICE_SCAN"
-            ):
+            from ..ops import scan_conv
+
+            self._scanner = scan_conv.DeviceScanner(bf)
+            if not _os.environ.get("GPTPU_FORCE_DEVICE_SCAN"):
                 self._maybe_demote_device_scan()
 
     def _maybe_demote_device_scan(self) -> None:
-        """Adaptive placement: route the dense scan to the device only when
-        it beats the host native scan end-to-end.  The measured decision is
-        cached per process (keyed by (k, h) — the compiled scan).
+        """Adaptive placement for the dense scan, pipelining-aware.
 
-        A tunneled/remote chip (dev-box setups) pays both a round-trip
-        latency and a per-byte transfer cost that a co-located TPU does
-        not.  Measure the device scan at two sizes (second calls, so the
-        persistent compilation cache absorbs the compile), fit
-        t(n) = a + b*n, measure the host native scan once, and fall back
-        to the host path when the extrapolated device time at a
-        representative contig size loses.  GPTPU_FORCE_DEVICE_SCAN=1
-        skips the demotion."""
+        With the lookahead pipeline (polish/scanpipe.py) the device scan
+        runs CONCURRENTLY with the host walk, so the device earns its place
+        whenever its end-to-end rate beats the host's *sequential* scan
+        share — i.e. when
+
+            dev_rate > host_scan * walk / (host_scan + walk)
+
+        (the throughput of the host doing both stages itself), with `walk`
+        a host-generous constant estimate.  A raw dev>host comparison would
+        wrongly demote a device that hides the scan entirely behind the
+        walk.  Measured once per process per (k, h, bits, probe); the chip
+        link's latency and bandwidth are in the measurement.
+        GPTPU_FORCE_DEVICE_SCAN=1 skips demotion."""
         import time as _time
 
         k, h = self.cfg.k, self.cfg.h
-        key = (k, h)
+        key = (k, h, int(self.bf.bits), self._scanner.probe)
         if key in _SCAN_PLACEMENT:
             if _SCAN_PLACEMENT[key] == "host":
-                self._jax = None
-                self._mxu_planes = None
+                self._scanner = None
             return
         try:
             from .. import native
@@ -345,35 +364,27 @@ class NtEditTPU:
             _SCAN_PLACEMENT[key] = "device"
             return
         try:
-            bloom_jax, _ = self._jax
-            import jax.numpy as jnp
-
-            n_probe = 1 << 19  # big enough to expose the transfer slope
-            rng_codes = np.frombuffer(b"ACGT" * (n_probe // 4), np.uint8)
-
-            codes_host = rng_codes[:n_probe]
+            n_probe = 1 << 20
+            codes_host = np.frombuffer(b"ACGT" * (n_probe // 4), np.uint8)
             dev = None
-            for rep in range(2):  # 1st may compile / load the cache
+            for _rep in range(2):  # 1st call may compile / load the cache
                 t0 = _time.perf_counter()
-                np.asarray(
-                    bloom_jax.probe_kmers_packed_jit(
-                        self._words, int(self.bf.bits), h, k,
-                        jnp.asarray(codes_host),
-                    )
-                )
+                np.asarray(self._scanner.scan_packed(codes_host, k))
                 dev = _time.perf_counter() - t0
             t0 = _time.perf_counter()
             native.bf_contains(self.bf, native.nthash_all(codes_host, k, h))
             host = _time.perf_counter() - t0
         except Exception:  # noqa: BLE001 — device probe failed: host scan
             _SCAN_PLACEMENT[key] = "host"
-            self._jax = None
-            self._mxu_planes = None
+            self._scanner = None
             return
-        _SCAN_PLACEMENT[key] = "host" if dev > host else "device"
-        if dev > host:
-            self._jax = None
-            self._mxu_planes = None
+        dev_rate = n_probe / max(dev, 1e-9)
+        host_rate = n_probe / max(host, 1e-9)
+        walk = self.WALK_RATE_EST
+        bar = host_rate * walk / (host_rate + walk)
+        _SCAN_PLACEMENT[key] = "device" if dev_rate > bar else "host"
+        if _SCAN_PLACEMENT[key] == "host":
+            self._scanner = None
 
     def _use_native_walk(self) -> bool:
         """The full native walk (gp_polish_contig) replaces phases A+B when
@@ -413,25 +424,23 @@ class NtEditTPU:
 
     def _probe_all(self, codes: np.ndarray) -> np.ndarray:
         k, h = self.cfg.k, self.cfg.h
+        n = len(codes)
+        if self._scanner is not None:  # hybrid: fused device scan
+            bucket = max(256, 1 << (n - 1).bit_length())
+            padded = np.zeros(bucket, np.uint8)
+            padded[:n] = codes
+            packed = np.asarray(self._scanner.scan_packed(padded, k))
+            return np.unpackbits(
+                packed.reshape(-1), bitorder="little"
+            )[: n - k + 1].astype(bool)
         if self._jax is not None:
             bloom_jax, _ = self._jax
             import jax.numpy as jnp
 
-            n = len(codes)
             bucket = max(256, 1 << (n - 1).bit_length())
             padded = np.zeros(bucket, np.uint8)
             padded[:n] = codes
             self._codes_dev = jnp.asarray(padded)  # reused by eval calls
-            if self._mxu_planes is not None:
-                from ..ops import bloom_pallas
-
-                pres = np.asarray(
-                    bloom_pallas.probe_windows_mxu(
-                        self._mxu_planes, int(self.bf.bits), h, k,
-                        self._codes_dev,
-                    )
-                )
-                return pres[: n - k + 1]
             packed = bloom_jax.probe_kmers_packed_jit(
                 self._words, int(self.bf.bits), h, k, self._codes_dev
             )
@@ -523,7 +532,14 @@ class NtEditTPU:
         cut points (_find_cuts) so one giant contig still uses every core;
         reassembly is byte-exact.  The third triple element is then a
         lightweight EditStats instead of the editor object.
+
+        On the hybrid backend the dense scans run through the lookahead
+        device pipeline (polish/scanpipe.py): the chip scans chunk i+1
+        while the host walks chunk i, removing the scan from the host's
+        critical path entirely.
         """
+        if self._scanner is not None:
+            return self._polish_many_pipelined(seqs, processes, shard_bases)
         presents: dict[int, np.ndarray] = {}
         if self._jax is not None and len(seqs) > 1:
             import jax.numpy as jnp
@@ -616,6 +632,89 @@ class NtEditTPU:
             self.polish_contig(s, present=presents.get(i))
             for i, s in enumerate(seqs)
         ]
+
+    def _polish_many_pipelined(self, seqs: list[bytes], processes: int,
+                               shard_bases: int):
+        """Hybrid-backend polish_many: device scan pipeline + host walks.
+
+        The ScanPipe generator keeps `depth` chunk scans in flight on the
+        device; each contig's walk (inline, or in the fork pool) runs while
+        later contigs' scans proceed — pipeline throughput is
+        max(walk, device scan) instead of host_scan + walk.
+        """
+        from .scanpipe import ScanPipe
+
+        k = self.cfg.k
+        pipe = ScanPipe(self._scanner, k)
+        jobs = [(i, np.frombuffer(s, np.uint8)) for i, s in enumerate(seqs)]
+        if processes > 1 and (
+            len(seqs) > 1 or any(len(s) > shard_bases for s in seqs)
+        ):
+            import concurrent.futures
+            import multiprocessing
+
+            from ..utils.procs import pool_worker_init
+
+            _PM_STATE["cfg"] = self.cfg
+            _PM_STATE["bf"] = self.bf
+            _PM_STATE.pop("eng", None)
+            _PM_STATE.pop("items", None)
+            pieces_map: dict[int, list] = {}
+            with concurrent.futures.ProcessPoolExecutor(
+                max_workers=processes,
+                mp_context=multiprocessing.get_context("fork"),
+                initializer=pool_worker_init,
+            ) as ex:
+                for ci, present in pipe.run(jobs):
+                    s = seqs[ci]
+                    pieces = min(processes, max(1, -(-len(s) // shard_bases)))
+                    cuts = (
+                        _find_cuts(present, k, len(s), pieces)
+                        if pieces > 1 and len(present) else []
+                    )
+                    bounds = [0, *cuts, len(s)]
+                    plist = []
+                    for a, b in zip(bounds[:-1], bounds[1:]):
+                        sub = s[a:b]
+                        if len(present) and len(sub) >= k:
+                            pres_sub = present[a : b - k + 1]
+                            packed = np.packbits(pres_sub, bitorder="little")
+                            nw = len(pres_sub)
+                        else:
+                            packed, nw = None, 0
+                        plist.append(
+                            (a, ex.submit(_pm_walk, sub, packed, nw))
+                        )
+                    pieces_map[ci] = plist
+                results: list = []
+                for ci in range(len(seqs)):
+                    out_b = b""
+                    recs: list[dict] = []
+                    stats = EditStats(0, 0, 0, 0)
+                    for start, fut in pieces_map[ci]:
+                        o, r, st = fut.result()
+                        out_b += o
+                        for rec in r:
+                            rec = dict(rec)
+                            rec["pos"] += start
+                            recs.append(rec)
+                        stats = EditStats(
+                            stats.n_subs + st.n_subs,
+                            stats.n_ins + st.n_ins,
+                            stats.n_dels + st.n_dels,
+                            stats.n_masked + st.n_masked,
+                        )
+                    results.append((out_b, recs, stats))
+            return results
+        # serial: inline walks; the pipe still scans ahead on the device
+        out: list = []
+        for ci, present in pipe.run(jobs):
+            out.append(
+                self.polish_contig(
+                    seqs[ci], present=present if len(present) else None
+                )
+            )
+        return out
 
     def polish_contig(self, seq_in: bytes, present: np.ndarray | None = None):
         """Polish one contig; returns (edited_bytes, subs_records, editor)."""

@@ -89,30 +89,22 @@ def test_mxu_kernel_interpret_matches():
     assert np.array_equal(got, want)
 
 
-def test_mxu_scan_path_env_gate(monkeypatch):
-    """GPTPU_MXU_PROBE=1 routes the dense scan through the MXU kernel and
-    matches the standard backend (interpret mode on CPU: use a tiny input)."""
-    import os
-
-    from goldpolish_tpu.polish import ntedit_oracle as ne
-    from goldpolish_tpu.polish.ntedit_tpu import NtEditTPU
-
-    rng = np.random.default_rng(0)
-    truth = "".join(rng.choice(list("ACGT")) for _ in range(1200))
-    bf = bloom.BloomFilter(1 << 16, 4, 32)
-    from goldpolish_tpu.ops import nthash as nt2
-
-    bf.insert(nt2.multi_hashes(nt2.canonical_hashes(nt2.encode(truth), 32), 32, 4))
-    d = bytearray(truth.encode())
-    d[600] = ord("A") if d[600] != ord("A") else ord("C")
-    cfg = ne.Config(k=32, h=4, use_ratio=True)
-    base_out, base_recs, _ = NtEditTPU(cfg, bf, backend="numpy").polish_contig(bytes(d))
-    monkeypatch.setenv("GPTPU_MXU_PROBE", "1")
-    # interpret-mode probes are slow; keep adaptive placement from demoting
-    monkeypatch.setenv("GPTPU_FORCE_DEVICE_SCAN", "1")
-    # pallas interpret mode on CPU for the kernel under test
-    from jax.experimental.pallas import tpu as pltpu
-
-    with pltpu.force_tpu_interpret_mode():
-        out, recs, _ = NtEditTPU(cfg, bf, backend="hybrid").polish_contig(bytes(d))
-    assert out == base_out and recs == base_recs
+def test_mxu_i8_kernel_interpret_matches():
+    """The production int8 one-hot kernel (single-chunk and chunked paths)
+    matches the host filter bit-for-bit (interpret mode on CPU)."""
+    bf, hashes = _setup(n_kmers=2500)
+    lo = jnp.asarray((hashes & np.uint64(0xFFFFFFFF)).astype(np.uint32))
+    want = bf.contains(hashes)
+    planes = jnp.asarray(bp.words_to_planes_i8(bf.words_u32()))
+    got = np.asarray(
+        bp.probe_lo32_mxu_i8(planes, int(bf.bits), lo, interpret=True)
+    )
+    assert np.array_equal(got, want)
+    # chunked path: shrink the chunk size so this filter needs several
+    got2 = np.asarray(
+        bp.probe_lo32_mxu_i8(
+            planes, int(bf.bits), lo, interpret=True,
+            chunk_rows=max(1, (bf.bytes // 512) // 4),
+        )
+    )
+    assert np.array_equal(got2, want)

@@ -1,0 +1,125 @@
+"""ops/scan_conv: MXU conv-hash + fused scan vs the scalar ntHash oracle."""
+
+import numpy as np
+import pytest
+
+from goldpolish_tpu.ops import bloom, nthash as nt
+
+sc = pytest.importorskip("goldpolish_tpu.ops.scan_conv")
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+
+def _rand_codes(n, seed=0):
+    rng = np.random.default_rng(seed)
+    return np.frombuffer(b"ACGT", np.uint8)[rng.integers(0, 4, n)].copy()
+
+
+@pytest.mark.parametrize("k", [20, 24, 28, 32, 55, 64])
+def test_conv_hash_matches_oracle(k):
+    codes = _rand_codes(500, seed=k)
+    got = np.asarray(
+        jax.jit(sc.canonical_hashes_conv, static_argnums=1)(codes[None], k)
+    )[0]
+    want = nt.canonical_hashes(codes, k)
+    assert np.array_equal(got, want)
+
+
+def test_conv_hash_full_alphabet():
+    """Lowercase, IUPAC, N and arbitrary bytes hash exactly like the oracle
+    (the 12-channel one-hot carries all information the seed tables read)."""
+    raw = (b"ACGTacgtNnYyRrWwSsKkMmBbDdHhVv" + bytes(range(33, 127))) * 6
+    codes = np.frombuffer(raw, np.uint8)
+    got = np.asarray(
+        jax.jit(sc.canonical_hashes_conv, static_argnums=1)(codes[None], 32)
+    )[0]
+    want = nt.canonical_hashes(codes, 32)
+    assert np.array_equal(got, want)
+
+
+def test_conv_strand_hashes_match():
+    codes = _rand_codes(300, seed=3)
+    fh, rh = jax.jit(sc.strand_hashes_conv, static_argnums=1)(codes[None], 32)
+    assert np.array_equal(np.asarray(fh)[0], nt.forward_hashes(codes, 32))
+    assert np.array_equal(np.asarray(rh)[0], nt.reverse_hashes(codes, 32))
+
+
+def _bf_with(codes, k, h, bf_bytes=1 << 16):
+    bf = bloom.BloomFilter(bf_bytes, h, k)
+    hashes = nt.multi_hashes(nt.canonical_hashes(codes, k), k, h)
+    bf.insert(hashes[::3])
+    return bf, bf.contains(hashes)
+
+
+@pytest.mark.parametrize("probe", ["gather", "mxu"])
+def test_device_scanner_parity(probe):
+    k, h = 32, 4
+    codes = _rand_codes(4000, seed=7)
+    bf, want = _bf_with(codes, k, h)
+    if probe == "mxu":
+        from jax.experimental.pallas import tpu as pltpu
+
+        ctx = pltpu.force_tpu_interpret_mode()
+    else:
+        import contextlib
+
+        ctx = contextlib.nullcontext()
+    with ctx:
+        scanner = sc.DeviceScanner(bf, force_probe=probe)
+        packed = np.asarray(scanner.scan_packed(codes, k))
+    pres = scanner.unpack_present(packed[0], len(codes) - k + 1)
+    assert np.array_equal(pres, want)
+
+
+def test_scanpipe_multi_chunk_stitching():
+    """Chunked scans stitch byte-identically to a whole-contig scan."""
+    from goldpolish_tpu.polish.scanpipe import ScanPipe
+
+    k, h = 32, 3
+    codes = _rand_codes(5000, seed=11)
+    bf, want = _bf_with(codes, k, h)
+    scanner = sc.DeviceScanner(bf, force_probe="gather")
+    pipe = ScanPipe(scanner, k, chunk_windows=700, depth=2)
+    jobs = [(0, codes), (1, codes[:10]), (2, codes[100:2100])]
+    got = dict(pipe.run(jobs))
+    assert np.array_equal(got[0], want)
+    assert got[1].size == 0
+    want2 = bf.contains(
+        nt.multi_hashes(nt.canonical_hashes(codes[100:2100], k), k, h)
+    )
+    assert np.array_equal(got[2], want2)
+
+
+def test_pipelined_polish_many_matches_numpy():
+    """Hybrid polish_many (scanner + pipeline) is byte-identical to the
+    numpy backend, serial and fork-pool, incl. a sharded long contig."""
+    from goldpolish_tpu.polish import ntedit_oracle as ne
+    from goldpolish_tpu.polish.ntedit_tpu import NtEditTPU
+
+    rng = np.random.default_rng(5)
+    k, h = 32, 4
+    truth = np.frombuffer(b"ACGT", np.uint8)[rng.integers(0, 4, 30000)].copy()
+    bf = bloom.BloomFilter(1 << 18, h, k)
+    bf.insert(nt.multi_hashes(nt.canonical_hashes(truth, k), k, h))
+    drafts = []
+    for lo, hi in ((0, 9000), (9000, 12000), (12000, 30000)):
+        d = bytearray(truth[lo:hi].tobytes())
+        for p in range(300, len(d) - 300, 900):
+            d[p] = ord("A") if d[p] != ord("A") else ord("G")
+        drafts.append(bytes(d))
+    cfg = ne.Config(k=k, h=h, use_ratio=True, mode=1, mask=1)
+    want = [
+        NtEditTPU(cfg, bf, backend="numpy").polish_contig(d)[0] for d in drafts
+    ]
+    import os
+
+    os.environ["GPTPU_FORCE_DEVICE_SCAN"] = "1"
+    try:
+        eng = NtEditTPU(cfg, bf, backend="hybrid")
+        assert eng._scanner is not None
+        got_serial = eng.polish_many(drafts)
+        assert [o for o, _r, _e in got_serial] == want
+        got_pool = eng.polish_many(drafts, processes=2, shard_bases=8000)
+        assert [o for o, _r, _e in got_pool] == want
+    finally:
+        os.environ.pop("GPTPU_FORCE_DEVICE_SCAN", None)
