@@ -80,12 +80,14 @@ class BFBuilder:
         self.subsample = subsample_max_mapped_seqs_per_target_10kbp
         self.autoscale_bf = autoscale_bf
         self._fill = None
+        self._fill_stream = None
         if use_native:
             try:
                 from . import native
 
                 native.lib()
                 self._fill = native.fill_bfs
+                self._fill_stream = native.fill_bfs_stream
             except Exception:  # noqa: BLE001
                 self._fill = None
         if self._fill is None:
@@ -111,6 +113,21 @@ class BFBuilder:
             bloom.BloomFilter(bf_bytes, self.hash_num, k)
             for k in self.k_values
         ]
+        if self._fill_stream is not None:
+            # whole batch in one native call: per-k OpenMP threads live
+            # across all reads (vs one omp region per read) and the Python
+            # per-read dispatch disappears — bit-identical filters
+            reads: list[bytes] = []
+            thresholds: list[int] = []
+            for _tid, chosen, kmer_threshold in self._choose_reads(target_ids):
+                for rid in chosen:
+                    reads.append(self.mapped_index.get_seq(rid))
+                    thresholds.append(kmer_threshold)
+            if reads:
+                self._fill_stream(
+                    reads, thresholds, self.hash_num, self.k_values, cbfs, bfs
+                )
+            return BatchBFs(self.k_values, cbfs, bfs)
         for _target_id, chosen, kmer_threshold in self._choose_reads(target_ids):
             for rid in chosen:
                 seq = self.mapped_index.get_seq(rid)

@@ -65,6 +65,15 @@ def lib():
             ctypes.c_int32,
         ]
         L.gp_fill_bfs.restype = ctypes.c_int
+        L.gp_fill_bfs_stream.argtypes = [
+            u8p, ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_uint32), ctypes.c_uint32,
+            ctypes.POINTER(ctypes.c_uint32), ctypes.c_uint32,
+            ctypes.POINTER(u8p), ctypes.c_uint64,
+            ctypes.POINTER(u8p), ctypes.c_uint64,
+            ctypes.c_int32,
+        ]
+        L.gp_fill_bfs_stream.restype = ctypes.c_int
         L.gp_bf_contains.argtypes = [
             u8p, ctypes.c_uint64, ctypes.c_uint32,
             ctypes.POINTER(ctypes.c_uint64), ctypes.c_int64, u8p,
@@ -118,6 +127,39 @@ def fill_bfs(seq_codes: np.ndarray, hash_num: int, k_values, kmer_threshold: int
     )
     if rc != 0:
         raise ValueError(f"gp_fill_bfs failed rc={rc}")
+
+
+def fill_bfs_stream(seqs: list[bytes], thresholds, hash_num: int, k_values,
+                    cbfs, bfs, skip_promoted: bool = True) -> None:
+    """Whole-batch fill in one native call (gp_fill_bfs_stream): reads are
+    concatenated host-side; per-k OpenMP threads live across the batch and
+    replay every read in order (bit-identical per-filter state; see the C
+    comment).  thresholds: one adaptive k-mer threshold per read."""
+    L = lib()
+    n = len(seqs)
+    offsets = np.zeros(n + 1, np.int64)
+    for i, s in enumerate(seqs):
+        offsets[i + 1] = offsets[i] + len(s)
+    concat = np.frombuffer(b"".join(seqs), np.uint8) if n else np.zeros(0, np.uint8)
+    thr = np.ascontiguousarray(thresholds, dtype=np.uint32)
+    if len(thr) != n:
+        raise ValueError("one threshold per read required")
+    nk = len(k_values)
+    ks = (ctypes.c_uint32 * nk)(*k_values)
+    cbf_ptrs = (ctypes.POINTER(ctypes.c_uint8) * nk)(
+        *[_u8ptr(c.counters) for c in cbfs]
+    )
+    bf_ptrs = (ctypes.POINTER(ctypes.c_uint8) * nk)(
+        *[_u8ptr(b.array) for b in bfs]
+    )
+    rc = L.gp_fill_bfs_stream(
+        _u8ptr(concat), offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        n, thr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)), hash_num,
+        ks, nk, cbf_ptrs, cbfs[0].bytes, bf_ptrs, bfs[0].bytes,
+        1 if skip_promoted else 0,
+    )
+    if rc != 0:
+        raise ValueError(f"gp_fill_bfs_stream failed rc={rc}")
 
 
 def bf_contains(bf, hashes: np.ndarray) -> np.ndarray:

@@ -123,6 +123,55 @@ inline unsigned cbf_insert_thresh(uint8_t* counters, uint64_t size,
   return mn + 1;
 }
 
+// One read's fill for ONE k: the prefetch-pipelined CBF->BF insert loop
+// (reference src/utils.cpp:108-121 for a single k of the sweep).  Shared by
+// gp_fill_bfs (per-k omp branch) and gp_fill_bfs_stream.
+inline void fill_read_one_k(const uint8_t* seq, int64_t seq_len, uint32_t k,
+                            unsigned thresh, uint32_t hash_num, uint8_t* cbf,
+                            uint64_t cbf_bytes, uint8_t* bf, uint64_t bf_bits,
+                            int32_t skip_promoted) {
+  if (seq_len < (int64_t)k) return;
+  uint64_t fh = 0, rh = 0;
+  for (uint32_t i = 0; i < k; i++) fh = srol(fh) ^ kSeeds.fwd[seq[i]];
+  for (uint32_t i = 0; i < k; i++) rh = srol(rh) ^ kSeeds.rc[seq[k - 1 - i]];
+  // The fill is random-access bound: every k-mer touches hash_num CBF
+  // and/or BF cache lines that are almost never resident.  Pipeline the
+  // loop with a lookahead ring — hash position w+D and prefetch its slots
+  // while the filter work for position w-D runs on lines already in flight.
+  constexpr int64_t D = 8;
+  uint64_t ring[D][16];
+  const int64_t n_win = seq_len - (int64_t)k + 1;
+  for (int64_t w = 0; w < n_win + D; w++) {
+    const int64_t p = w - D;
+    if (p >= 0) {
+      const uint64_t* hs = ring[p % D];
+      // skip_promoted: once a k-mer's bits all read set, further CBF
+      // counting cannot change the final BF array (see gp_fill_bfs).
+      if (!skip_promoted || !bf_contains(bf, bf_bits, hs, hash_num)) {
+        if (cbf_insert_thresh(cbf, cbf_bytes, hs, hash_num, thresh) >= thresh)
+          bf_insert(bf, bf_bits, hs, hash_num);
+      }
+    }
+    if (w < n_win) {
+      uint64_t* slot = ring[w % D];
+      multi_hash(fh + rh, k, hash_num, slot);
+      for (uint32_t i = 0; i < hash_num; i++) {
+        __builtin_prefetch(&bf[bf_reduce(slot[i], bf_bits) >> 3], 0, 1);
+        __builtin_prefetch(&cbf[bf_reduce(slot[i], cbf_bytes)], 1, 1);
+      }
+      if (w + 1 < n_win) {
+        uint8_t out_c = seq[w], in_c = seq[w + k];
+        fh = srol(fh) ^ kSeeds.fwd[in_c] ^ srol_n(kSeeds.fwd[out_c], k);
+        uint64_t v = rh ^ srol_n(kSeeds.rc[in_c], k) ^ kSeeds.rc[out_c];
+        uint64_t hi = v >> 33, lo = v & M33;
+        hi = ((hi >> 1) | (hi << 30)) & M31;
+        lo = ((lo >> 1) | (lo << 32)) & M33;
+        rh = (hi << 33) | lo;
+      }
+    }
+  }
+}
+
 }  // namespace
 
 extern "C" {
@@ -248,58 +297,62 @@ int gp_fill_bfs(const uint8_t* seq, int64_t seq_len, uint32_t hash_num,
 #pragma omp parallel for schedule(static, 1)
 #endif
   for (uint32_t ki = 0; ki < num_k; ki++) {
-    const unsigned thresh = kmer_threshold - 2 + ki;
-    std::vector<uint64_t> hashes(hash_num);
+    fill_read_one_k(seq, seq_len, k_values[ki], kmer_threshold - 2 + ki,
+                    hash_num, cbf_arrays[ki], cbf_bytes, bf_arrays[ki],
+                    bf_bits, skip_promoted);
+  }
+  return 0;
+}
+
+// Batch fill: a whole read set in one call.  seqs = concatenated read bytes;
+// offsets[i]..offsets[i+1] delimit read i (offsets has n_reads+1 entries);
+// thresholds[i] is read i's adaptive k-mer threshold (per-target regression,
+// reference goldpolish_targeted_bfs.cpp:45-53 — reads arrive in target
+// order, each carrying its target's threshold).  Parallelism is ACROSS k
+// (one thread per k owns its CBF/BF pair and replays every read in order,
+// so the per-filter conservative-update order is byte-identical to the
+// serial sweep), with threads living for the whole batch instead of one
+// omp region per read (reference does one omp task per batch,
+// goldpolish_targeted_bfs.cpp:177-192).
+int gp_fill_bfs_stream(const uint8_t* seqs, const int64_t* offsets,
+                       int64_t n_reads, const uint32_t* thresholds,
+                       uint32_t hash_num, const uint32_t* k_values,
+                       uint32_t num_k, uint8_t** cbf_arrays,
+                       uint64_t cbf_bytes, uint8_t** bf_arrays,
+                       uint64_t bf_bytes, int32_t skip_promoted) {
+  if (hash_num > 16) return -1;
+  for (int64_t r = 0; r < n_reads; r++)
+    if (thresholds[r] < 4) return -1;
+  const uint64_t bf_bits = bf_bytes * 8;
+#ifdef _OPENMP
+  // Single-thread case (fork-pool workers pin OpenMP to 1 thread and must
+  // not enter a parallel region post-fork): delegate per read to
+  // gp_fill_bfs, whose region-free fused multi-k path interleaves the k
+  // streams' cache misses.
+  if (omp_get_max_threads() <= 1) {
+#else
+  if (true) {
+#endif
+    for (int64_t r = 0; r < n_reads; r++) {
+      int rc = gp_fill_bfs(seqs + offsets[r], offsets[r + 1] - offsets[r],
+                           hash_num, k_values, num_k, thresholds[r],
+                           cbf_arrays, cbf_bytes, bf_arrays, bf_bytes,
+                           skip_promoted);
+      if (rc != 0) return rc;
+    }
+    return 0;
+  }
+#ifdef _OPENMP
+#pragma omp parallel for schedule(static, 1)
+#endif
+  for (uint32_t ki = 0; ki < num_k; ki++) {
     const uint32_t k = k_values[ki];
-    if (seq_len < (int64_t)k) continue;
     uint8_t* cbf = cbf_arrays[ki];
     uint8_t* bf = bf_arrays[ki];
-    uint64_t fh = 0, rh = 0;
-    for (uint32_t i = 0; i < k; i++) fh = srol(fh) ^ kSeeds.fwd[seq[i]];
-    for (uint32_t i = 0; i < k; i++) rh = srol(rh) ^ kSeeds.rc[seq[k - 1 - i]];
-    // The fill is random-access bound: every k-mer touches hash_num CBF
-    // and/or BF cache lines that are almost never resident.  Pipeline the
-    // loop with a lookahead ring — hash position w+D and prefetch its
-    // slots while the filter work for position w-th runs on lines already
-    // in flight.
-    constexpr int64_t D = 8;
-    uint64_t ring[D][16];
-    const int64_t n_win = seq_len - (int64_t)k + 1;
-    for (int64_t w = 0; w < n_win + D; w++) {
-      // process the position whose prefetches were issued D iterations ago
-      // BEFORE writing this iteration's hashes: p % D == w % D, the ring
-      // slot is reused in the same iteration.
-      const int64_t p = w - D;
-      if (p >= 0) {
-        const uint64_t* hs = ring[p % D];
-        // skip_promoted: once a k-mer's bits all read set, further CBF
-        // counting cannot change the final BF array — a true promotion
-        // already inserted them, and a false positive means the insert
-        // would set already-set bits.  (CBF counts then diverge from the
-        // reference fill; the pipeline discards them post-build.)
-        if (!skip_promoted || !bf_contains(bf, bf_bits, hs, hash_num)) {
-          if (cbf_insert_thresh(cbf, cbf_bytes, hs, hash_num, thresh) >=
-              thresh)
-            bf_insert(bf, bf_bits, hs, hash_num);
-        }
-      }
-      if (w < n_win) {
-        uint64_t* slot = ring[w % D];
-        multi_hash(fh + rh, k, hash_num, slot);
-        for (uint32_t i = 0; i < hash_num; i++) {
-          __builtin_prefetch(&bf[bf_reduce(slot[i], bf_bits) >> 3], 0, 1);
-          __builtin_prefetch(&cbf[bf_reduce(slot[i], cbf_bytes)], 1, 1);
-        }
-        if (w + 1 < n_win) {
-          uint8_t out_c = seq[w], in_c = seq[w + k];
-          fh = srol(fh) ^ kSeeds.fwd[in_c] ^ srol_n(kSeeds.fwd[out_c], k);
-          uint64_t v = rh ^ srol_n(kSeeds.rc[in_c], k) ^ kSeeds.rc[out_c];
-          uint64_t hi = v >> 33, lo = v & M33;
-          hi = ((hi >> 1) | (hi << 30)) & M31;
-          lo = ((lo >> 1) | (lo << 32)) & M33;
-          rh = (hi << 33) | lo;
-        }
-      }
+    for (int64_t r = 0; r < n_reads; r++) {
+      fill_read_one_k(seqs + offsets[r], offsets[r + 1] - offsets[r], k,
+                      thresholds[r] - 2 + ki, hash_num, cbf, cbf_bytes, bf,
+                      bf_bits, skip_promoted);
     }
   }
   return 0;

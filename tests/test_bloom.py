@@ -130,3 +130,53 @@ def test_device_counted_build_promotes_at_threshold():
     set_bits = np.unpackbits(words3.view(np.uint8))
     want_bits = np.unpackbits(host.words_u32().view(np.uint8))
     assert (set_bits >= want_bits).all()
+
+
+def test_native_stream_fill_matches_per_read():
+    """gp_fill_bfs_stream (whole-batch, per-k threads) produces filters
+    byte-identical to the per-read native fill AND to the numpy oracle,
+    including mixed per-read thresholds."""
+    pytest.importorskip("goldpolish_tpu.native")
+    from goldpolish_tpu import native
+
+    try:
+        native.lib()
+    except Exception:
+        pytest.skip("native lib unavailable")
+    rng = np.random.default_rng(42)
+    ks, h = [32, 28, 24], 3
+    reads = [
+        np.frombuffer(b"ACGT", np.uint8)[rng.integers(0, 4, n)].tobytes()
+        for n in (500, 90, 17, 700, 260)
+    ]
+    # repeat reads so promotions actually happen
+    reads = reads * 6
+    thresholds = [5 if i % 2 else 6 for i in range(len(reads))]
+
+    def fresh():
+        return (
+            [bloom.CountingBloomFilter8(1 << 16, h, k) for k in ks],
+            [bloom.BloomFilter(1 << 14, h, k) for k in ks],
+        )
+
+    cbf_a, bf_a = fresh()
+    for r, t in zip(reads, thresholds):
+        native.fill_bfs(np.frombuffer(r, np.uint8), h, ks, t, cbf_a, bf_a,
+                        skip_promoted=False)
+    cbf_b, bf_b = fresh()
+    native.fill_bfs_stream(reads, thresholds, h, ks, cbf_b, bf_b,
+                           skip_promoted=False)
+    cbf_c, bf_c = fresh()
+    for r, t in zip(reads, thresholds):
+        bloom.fill_bfs(np.frombuffer(r, np.uint8), h, ks, t, cbf_c, bf_c)
+    for ki in range(len(ks)):
+        assert np.array_equal(bf_a[ki].array, bf_b[ki].array)
+        assert np.array_equal(cbf_a[ki].counters, cbf_b[ki].counters)
+        assert np.array_equal(bf_b[ki].array, bf_c[ki].array)
+        assert np.array_equal(cbf_b[ki].counters, cbf_c[ki].counters)
+    # skip_promoted mode: BF arrays still identical (CBF may diverge)
+    cbf_d, bf_d = fresh()
+    native.fill_bfs_stream(reads, thresholds, h, ks, cbf_d, bf_d,
+                           skip_promoted=True)
+    for ki in range(len(ks)):
+        assert np.array_equal(bf_d[ki].array, bf_c[ki].array)
