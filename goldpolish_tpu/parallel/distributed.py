@@ -67,19 +67,35 @@ def write_batch_output(output_seqs: str, batch_index: int, records) -> None:
     os.replace(tmp, path)
 
 
+def reap_progress_path(output_seqs: str) -> str:
+    return output_seqs + ".reaped"
+
+
 def reap(output_seqs: str, n_batches: int, poll_interval: float = 0.5,
-         timeout: float = 7200.0) -> None:
+         timeout: float = 7200.0, resumable: bool = False) -> None:
     """Reaper loop (host 0): append per-batch outputs strictly in order.
 
     File-based equivalent of the reference reaper (goldpolish-reaper:51-73):
     blocks on batch i, appends it to the final output, deletes it, moves to
     i+1.  An empty batch file aborts (reaper:38-40 semantics).
+
+    resumable=True persists progress ("<out>.reaped" holds the next batch
+    index, atomically replaced AFTER each append) so a killed run restarts
+    where it left off: already-reaped batches stay in the output file
+    (reopened in append mode) and are never re-requested from workers.  The
+    progress file is removed on completion.
     """
     from ..io import fasta
 
+    progress = reap_progress_path(output_seqs)
+    start = 0
+    if resumable and os.path.exists(progress):
+        with open(progress) as f:
+            start = int(f.read().strip() or 0)
+        log.info("reaper resuming at batch %d", start)
     deadline = time.time() + timeout
-    with fasta.FastaWriter(output_seqs) as w:
-        for i in range(n_batches):
+    with fasta.FastaWriter(output_seqs, append=start > 0) as w:
+        for i in range(start, n_batches):
             path = batch_path(output_seqs, i)
             while not os.path.exists(path):
                 if time.time() > deadline:
@@ -91,5 +107,22 @@ def reap(output_seqs: str, n_batches: int, poll_interval: float = 0.5,
                 )
             for rec in fasta.read_seqs(path):
                 w.write(rec)
+            w.flush()
             os.remove(path)
+            if resumable:
+                tmp = progress + ".tmp"
+                with open(tmp, "w") as f:
+                    f.write(str(i + 1))
+                os.replace(tmp, progress)
+    if resumable and os.path.exists(progress):
+        os.remove(progress)
     log.info("reaped %d batches -> %s", n_batches, output_seqs)
+
+
+def reaped_through(output_seqs: str) -> int:
+    """Next batch index the (resumable) reaper will consume; 0 if fresh."""
+    progress = reap_progress_path(output_seqs)
+    if os.path.exists(progress):
+        with open(progress) as f:
+            return int(f.read().strip() or 0)
+    return 0

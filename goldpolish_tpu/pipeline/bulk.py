@@ -211,7 +211,17 @@ def run_bulk(cfg: PipelineConfig) -> dict:
         records = ((r.name, r.seq) for r in fasta.read_seqs(cfg.seqs_to_polish))
         all_batches = list(engine.make_batches(records, cfg.batch_size))
         manifest = engine.CheckpointManifest(cfg.checkpoint or None)
-        totals = {"batches": len(all_batches), "contigs": 0, "bases_out": 0}
+        # resume data plane: with a checkpoint configured, every finished
+        # batch's output is ALSO published as an atomically-renamed FASTA
+        # next to the manifest BEFORE the batch is marked done, so a
+        # preempted run replays completed batches from disk instead of
+        # re-polishing (restores — and beats — the reference's make-level
+        # resumability, goldpolish-make:45 .SECONDARY)
+        ckpt_dir = (cfg.checkpoint + ".batches") if cfg.checkpoint else None
+        if ckpt_dir:
+            os.makedirs(ckpt_dir, exist_ok=True)
+        totals = {"batches": len(all_batches), "contigs": 0, "bases_out": 0,
+                  "resumed_batches": 0}
         t_setup = _time.monotonic() - t_start  # index + mapping + builder
         timing_sum: dict = {}
 
@@ -257,6 +267,36 @@ def run_bulk(cfg: PipelineConfig) -> dict:
                     None, polish_batch_records, batch.records, builder, cfg
                 )
 
+        if ckpt_dir and n_hosts == 1:
+            # multi-host publishes per-batch files to the reaper already;
+            # only the single-host path needs the extra replay copies
+            inner_worker = worker
+
+            async def worker(batch: engine.Batch):  # noqa: F811
+                res = await inner_worker(batch)
+                # publish BEFORE the manifest marks done (run_pipeline marks
+                # after the worker returns): a crash between the two just
+                # re-polishes the batch
+                dist.write_batch_output(
+                    os.path.join(ckpt_dir, "out"), batch.index, res.records
+                )
+                return res
+
+        def skip_result(batch: engine.Batch):
+            """Replay a checkpointed batch; None declines (file vanished)."""
+            if not ckpt_dir:
+                return None
+            path = dist.batch_path(os.path.join(ckpt_dir, "out"), batch.index)
+            if not os.path.exists(path):
+                log.warning(
+                    "batch %d marked done but %s is missing; re-polishing",
+                    batch.index, path,
+                )
+                return None
+            recs = [(r.name, r.seq) for r in fasta.read_seqs(path)]
+            totals["resumed_batches"] += 1
+            return BatchResult(records=recs, stats={"timing": {}})
+
         if n_hosts > 1:
             import threading
 
@@ -268,10 +308,14 @@ def run_bulk(cfg: PipelineConfig) -> dict:
                 for key, val in result.stats.get("timing", {}).items():
                     timing_sum[key] = timing_sum.get(key, 0.0) + val
 
+            resumable = bool(cfg.checkpoint)
+            reaped = dist.reaped_through(cfg.output_seqs) if resumable else 0
             reaper = None
             if host_id == 0:
                 reaper = threading.Thread(
-                    target=dist.reap, args=(cfg.output_seqs, len(all_batches))
+                    target=dist.reap,
+                    args=(cfg.output_seqs, len(all_batches)),
+                    kwargs={"resumable": resumable},
                 )
                 reaper.start()
 
@@ -280,6 +324,18 @@ def run_bulk(cfg: PipelineConfig) -> dict:
 
                 async def one(b):
                     async with sem:
+                        # resume: a batch recorded done whose output either
+                        # already reached the final FASTA (reaper progress)
+                        # or still sits published for the reaper needs no
+                        # re-polish
+                        if manifest and b.index in manifest.done and (
+                            b.index < reaped
+                            or os.path.exists(
+                                dist.batch_path(cfg.output_seqs, b.index)
+                            )
+                        ):
+                            totals["resumed_batches"] += 1
+                            return
                         res = await worker(b)
                         sink_batch(b.index, res)
                         if manifest:
@@ -311,6 +367,7 @@ def run_bulk(cfg: PipelineConfig) -> dict:
                         my_batches, worker, sink,
                         max_concurrent=cfg.max_concurrent_batches,
                         manifest=manifest,
+                        skip_result=skip_result if ckpt_dir else None,
                     )
                 )
             finally:
@@ -319,6 +376,14 @@ def run_bulk(cfg: PipelineConfig) -> dict:
                 loop.close()
         if executor is not None:
             executor.shutdown()
+        if ckpt_dir:
+            # run complete: the final output holds everything — drop the
+            # per-batch replay files and the manifest so a rerun starts fresh
+            import shutil
+
+            shutil.rmtree(ckpt_dir, ignore_errors=True)
+            if cfg.checkpoint and os.path.exists(cfg.checkpoint):
+                os.remove(cfg.checkpoint)
         wall = _time.monotonic() - t_start
         totals["timing"] = {"wall_s": round(wall, 3), "setup_s": round(t_setup, 3),
                             **{k: round(v, 3) for k, v in timing_sum.items()}}

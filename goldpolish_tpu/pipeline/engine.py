@@ -128,8 +128,10 @@ async def run_pipeline(
 
     Results reach `sink` strictly in batch order.  Batches recorded complete
     in `manifest` are skipped (skip_result provides their replay value, e.g.
-    re-reading a partial output file).  The first worker exception cancels
-    outstanding work and re-raises.
+    re-reading the batch's checkpointed output file); a skip_result that
+    returns None declines the skip (e.g. the file vanished) and the batch
+    re-polishes.  The first worker exception cancels outstanding work and
+    re-raises.
     """
     writer = OrderedWriter(sink)
     sem = asyncio.Semaphore(max_concurrent)
@@ -138,9 +140,10 @@ async def run_pipeline(
 
     async def run_one(b: Batch):
         async with sem:
+            res = None
             if manifest and b.index in manifest.done and skip_result is not None:
                 res = skip_result(b)
-            else:
+            if res is None:
                 res = await worker(b)
                 if manifest:
                     manifest.mark(b.index)

@@ -380,10 +380,27 @@ class NtEditTPU:
             return
         dev_rate = n_probe / max(dev, 1e-9)
         host_rate = n_probe / max(host, 1e-9)
+        self._host_scan_rate = host_rate
         walk = self.WALK_RATE_EST
         bar = host_rate * walk / (host_rate + walk)
         _SCAN_PLACEMENT[key] = "device" if dev_rate > bar else "host"
         if _SCAN_PLACEMENT[key] == "host":
+            self._scanner = None
+
+    def _observe_pipe(self, pipe, total_bases: int) -> None:
+        """Economic self-demotion: after a pipelined run, if the host spent
+        longer BLOCKED on device results than its own scan would have cost,
+        the device is a net loss for this engine's workload (e.g. a clean
+        late-k pass whose walk is too fast to hide the scans behind) —
+        demote to the host scan for subsequent calls."""
+        rate = getattr(self, "_host_scan_rate", None)
+        if self._scanner is None or not rate or total_bases < (1 << 20):
+            return
+        host_scan_s = total_bases / rate
+        if pipe.wait_s > 1.2 * host_scan_s:
+            key = (self.cfg.k, self.cfg.h, int(self.bf.bits),
+                   self._scanner.probe)
+            _SCAN_PLACEMENT[key] = "host"
             self._scanner = None
 
     def _use_native_walk(self) -> bool:
@@ -665,6 +682,13 @@ class NtEditTPU:
                 mp_context=multiprocessing.get_context("fork"),
                 initializer=pool_worker_init,
             ) as ex:
+                # fork all workers BEFORE the first device dispatch: forking
+                # while jax's dispatch threads hold locks is the classic
+                # fork-after-threads deadlock; an idle device window is the
+                # safe moment
+                concurrent.futures.wait(
+                    [ex.submit(int, 0) for _ in range(processes)]
+                )
                 for ci, present in pipe.run(jobs):
                     s = seqs[ci]
                     pieces = min(processes, max(1, -(-len(s) // shard_bases)))
@@ -705,6 +729,7 @@ class NtEditTPU:
                             stats.n_masked + st.n_masked,
                         )
                     results.append((out_b, recs, stats))
+            self._observe_pipe(pipe, sum(len(s) for s in seqs))
             return results
         # serial: inline walks; the pipe still scans ahead on the device
         out: list = []
@@ -714,6 +739,7 @@ class NtEditTPU:
                     seqs[ci], present=present if len(present) else None
                 )
             )
+        self._observe_pipe(pipe, sum(len(s) for s in seqs))
         return out
 
     def polish_contig(self, seq_in: bytes, present: np.ndarray | None = None):

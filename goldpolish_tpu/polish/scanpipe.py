@@ -1,21 +1,25 @@
 """Chunked, lookahead-pipelined device presence scans.
 
 The dense detection scan (a Bloom probe of every draft window) runs on the
-TPU as a sequence of fixed-shape chunk programs (ops/scan_conv fused
+TPU as a short sequence of fixed-shape device programs (ops/scan_conv fused
 hash+probe), dispatched ASYNCHRONOUSLY ahead of the consumer: while the
-host walks the hot sites of chunk i (the sparse, branchy phase B that
-fundamentally belongs on the CPU), the device is already scanning chunks
-i+1..i+depth.  On a chip behind a slow link this is the difference between
-the TPU being decorative and the TPU removing the entire dense scan from
-the host's critical path: pipeline throughput = max(walk, device-scan)
-instead of host-scan + walk.
+host walks the hot sites of the sequences already scanned (the sparse,
+branchy phase B that fundamentally belongs on the CPU), the device is
+already scanning the next call.  On a chip behind a slow link this is the
+difference between the TPU being decorative and the TPU removing the
+entire dense scan from the host's critical path: pipeline throughput =
+max(walk, device-scan) instead of host-scan + walk.
 
-Chunking is window-exact: a chunk covering windows [a, b) of a contig reads
-bytes [a, b+k-1), so presence bits stitch back byte-identically to a whole-
-contig scan (each window hash only reads its own k bytes — there is no
-cross-window state; see ops/scan_conv).  Full chunks share one static shape
-(one XLA program); tail chunks pad to a power-of-two bucket (a handful of
-shapes total).
+Packing: every device call has ONE static shape [ROWS, ROW_BYTES].  Each
+row is a dense byte stream of SEGMENTS — window ranges of the input jobs —
+placed back to back; a segment covering windows [a, b) of a job contributes
+bytes [a, b+k-1), so its presence bits are exact and stitch back
+byte-identically to a whole-contig scan (window hashes read only their own
+k bytes; the k-1 garbage windows spanning a segment boundary are sliced
+off by the segment map).  This keeps call count ~ total_bases / call
+capacity regardless of contig count or size — the per-call dispatch cost
+of a tunneled chip is paid a handful of times per batch, and padding waste
+is at most one row.
 
 Replaces the reference's one-rolling-probe-per-position inner loop
 (reference: subprojects/ntedit/ntedit.cpp:1414-1486) as the production
@@ -25,95 +29,134 @@ device scan.
 from __future__ import annotations
 
 from collections import deque
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 
 import numpy as np
 
-CHUNK_WINDOWS = 1 << 21  # 2 M windows per device program
-MIN_TAIL = 256
-DEPTH = 3  # chunks in flight (1 being consumed + lookahead)
+ROWS = 4
+ROW_WINDOWS = 1 << 19  # 512 K windows per row -> 2 M windows per call
+DEPTH = 2  # calls in flight beyond the one being consumed
 
 
 @dataclass
-class _Chunk:
+class _Seg:
     job: int
-    w0: int  # first window covered
-    nw: int  # valid windows
+    w0: int     # first window of the job this segment covers
+    nw: int     # windows in this segment
+    row: int    # row within the call
+    off: int    # byte offset within the row
+
+
+@dataclass
+class _Call:
+    segs: list[_Seg] = field(default_factory=list)
 
 
 class ScanPipe:
     """Runs fused device scans for a stream of byte-code jobs with lookahead.
 
     jobs: list of (job_id, codes uint8[n]).  `run()` yields
-    (job_id, present bool[n-k+1]) in input order while later chunks scan on
+    (job_id, present bool[n-k+1]) in input order while later calls scan on
     the device in the background.
     """
 
-    def __init__(self, scanner, k: int, chunk_windows: int = CHUNK_WINDOWS,
-                 depth: int = DEPTH):
+    def __init__(self, scanner, k: int, row_windows: int = ROW_WINDOWS,
+                 rows: int = ROWS, depth: int = DEPTH):
         self.scanner = scanner
         self.k = k
-        self.chunk_windows = int(chunk_windows)
+        self.row_windows = int(row_windows)
+        self.rows = int(rows)
         self.depth = max(1, int(depth))
+        self.row_bytes = self.row_windows + k - 1
+        # observability for adaptive placement: how often the consumer had
+        # to wait on the device vs found the result already materialized
+        self.waits = 0
+        self.calls = 0
+        self.wait_s = 0.0
 
-    def _chunks_of(self, codes: np.ndarray) -> list[_Chunk]:
-        nw = len(codes) - self.k + 1
-        return [
-            _Chunk(0, a, min(self.chunk_windows, nw - a))
-            for a in range(0, max(nw, 1), self.chunk_windows)
-            if nw > 0
-        ]
-
-    def _dispatch(self, codes: np.ndarray, ch: _Chunk):
+    # -- planning ---------------------------------------------------------
+    def _plan(self, jobs) -> list[_Call]:
         k = self.k
-        n_bytes = ch.nw + k - 1
-        if ch.nw == self.chunk_windows:
-            buf_len = self.chunk_windows + k - 1  # the one hot shape
-        else:
-            buf_len = MIN_TAIL
-            while buf_len < n_bytes:
-                buf_len *= 2
-        buf = np.zeros(buf_len, np.uint8)
-        buf[:n_bytes] = codes[ch.w0 : ch.w0 + n_bytes]
-        return self.scanner.scan_packed(buf, k)
+        calls: list[_Call] = [_Call()]
+        row, off = 0, 0
+        for ji, (_job_id, codes) in enumerate(jobs):
+            nw = len(codes) - k + 1
+            a = 0
+            while a < nw:
+                if off + k > self.row_bytes:  # no room for even one window
+                    row += 1
+                    off = 0
+                    if row == self.rows:
+                        calls.append(_Call())
+                        row = 0
+                take = min(nw - a, self.row_bytes - off - (k - 1))
+                calls[-1].segs.append(_Seg(ji, a, take, row, off))
+                off += take + k - 1
+                a += take
+        return [c for c in calls if c.segs]
 
+    def _dispatch(self, jobs, call: _Call):
+        buf = np.zeros((self.rows, self.row_bytes), np.uint8)
+        for s in call.segs:
+            codes = jobs[s.job][1]
+            buf[s.row, s.off : s.off + s.nw + self.k - 1] = codes[
+                s.w0 : s.w0 + s.nw + self.k - 1
+            ]
+        self.calls += 1
+        return self.scanner.scan_packed(buf, self.k)
+
+    # -- execution --------------------------------------------------------
     def run(self, jobs):
         """Generator of (job_id, present) in input order."""
-        k = self.k
-        plan: list[tuple[int, np.ndarray, _Chunk]] = []
-        for ji, (job_id, codes) in enumerate(jobs):
-            for ch in self._chunks_of(codes):
-                ch.job = ji
-                plan.append((job_id, codes, ch))
-        # degenerate jobs (shorter than k) still yield
-        short = {ji: job_id for ji, (job_id, codes) in enumerate(jobs)
-                 if len(codes) < k}
+        import time
 
+        k = self.k
+        jobs = list(jobs)
+        calls = self._plan(jobs)
         inflight: deque = deque()
         pos = 0
 
         def pump():
             nonlocal pos
-            while pos < len(plan) and len(inflight) < self.depth:
-                job_id, codes, ch = plan[pos]
-                inflight.append((job_id, ch, self._dispatch(codes, ch)))
+            while pos < len(calls) and len(inflight) < self.depth + 1:
+                inflight.append((calls[pos], self._dispatch(jobs, calls[pos])))
                 pos += 1
 
         pump()
-        for ji, (job_id, codes) in enumerate(jobs):
-            if ji in short:
-                yield job_id, np.zeros(0, bool)
-                continue
-            nw = len(codes) - k + 1
-            parts: list[np.ndarray] = []
-            got = 0
-            while got < nw:
-                _jid, ch, fut = inflight.popleft()
-                pump()  # keep the device busy before blocking on this chunk
-                packed = np.asarray(fut)  # blocks for THIS chunk only
-                pres = np.unpackbits(
-                    packed.reshape(-1), bitorder="little"
-                )[: ch.nw].astype(bool)
-                parts.append(pres)
-                got += ch.nw
-            yield job_id, (parts[0] if len(parts) == 1 else np.concatenate(parts))
+        parts: dict[int, list[np.ndarray]] = {}
+        done: dict[int, np.ndarray] = {}
+        need = {ji: max(0, len(c) - k + 1) for ji, (_j, c) in enumerate(jobs)}
+        next_ji = 0
+
+        def emit_ready():
+            nonlocal next_ji
+            while next_ji < len(jobs):
+                if need[next_ji] == 0:
+                    yield jobs[next_ji][0], np.zeros(0, bool)
+                elif next_ji in done:
+                    yield jobs[next_ji][0], done.pop(next_ji)
+                else:
+                    return
+                next_ji += 1
+
+        for call, fut in iter(lambda: inflight.popleft() if inflight else None,
+                              None):
+            pump()  # keep the device queue full before blocking
+            t0 = time.perf_counter()
+            packed = np.asarray(fut)  # blocks for THIS call only
+            dt = time.perf_counter() - t0
+            self.wait_s += dt
+            if dt > 0.002:
+                self.waits += 1
+            bits = np.unpackbits(packed, axis=1, bitorder="little")
+            for s in call.segs:
+                parts.setdefault(s.job, []).append(
+                    bits[s.row, s.off : s.off + s.nw].astype(bool)
+                )
+                got = sum(len(p) for p in parts[s.job])
+                if got == need[s.job]:
+                    ps = parts.pop(s.job)
+                    done[s.job] = ps[0] if len(ps) == 1 else np.concatenate(ps)
+            yield from emit_ready()
+        yield from emit_ready()
+        assert next_ji == len(jobs), "scan pipe under-delivered"

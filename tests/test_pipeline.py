@@ -82,10 +82,12 @@ def test_bulk_pipeline_checkpoint_resume(tmp_path):
         k_values=[32], batch_size=1, mappings_path=paf,
         workspace=str(tmp_path), checkpoint=ckpt, run_sealer=False,
     )
-    bulk.run_bulk(cfg)
-    assert os.path.exists(ckpt)
-    lines = open(ckpt).read().strip().splitlines()
-    assert len(lines) == 2  # both batches recorded
+    stats = bulk.run_bulk(cfg)
+    # completed runs clean their checkpoint state (manifest + replay files);
+    # mid-run resume behavior is covered by tests/test_resume.py
+    assert stats["resumed_batches"] == 0
+    assert not os.path.exists(ckpt)
+    assert not os.path.exists(ckpt + ".batches")
 
 
 def test_make_batches_by_count():

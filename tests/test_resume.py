@@ -1,0 +1,117 @@
+"""Checkpoint/resume: done batches replay from disk, never re-polish."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from goldpolish_tpu.config import PipelineConfig
+from goldpolish_tpu.parallel import distributed as dist
+from goldpolish_tpu.pipeline import bulk
+
+
+def _scenario(tmp_path, n_contigs=6, contig_len=4000, coverage=8):
+    rng = np.random.default_rng(3)
+    truths = [
+        "".join(rng.choice(list("ACGT"), contig_len)) for _ in range(n_contigs)
+    ]
+    draft_path = str(tmp_path / "draft.fa")
+    reads_path = str(tmp_path / "reads.fa")
+    paf_path = str(tmp_path / "map.paf")
+    with open(draft_path, "w") as d:
+        for i, t in enumerate(truths):
+            s = list(t)
+            s[contig_len // 2] = "A" if s[contig_len // 2] != "A" else "C"
+            d.write(f">ctg{i}\n{''.join(s)}\n")
+    rid = 0
+    with open(reads_path, "w") as r, open(paf_path, "w") as p:
+        for i, t in enumerate(truths):
+            for c in range(coverage):
+                off = (c * 131) % 400
+                seq = t[off:] + t[:off]  # rotations keep k-mer coverage high
+                seq = t  # full-length perfect reads, offset irrelevant
+                r.write(f">r{rid}\n{seq}\n")
+                p.write(
+                    f"r{rid}\t{len(seq)}\t0\t{len(seq)}\t+\tctg{i}\t"
+                    f"{contig_len}\t0\t{contig_len}\t{contig_len}\t"
+                    f"{contig_len}\t60\n"
+                )
+                rid += 1
+    return draft_path, reads_path, paf_path
+
+
+def _cfg(tmp_path, draft, reads, paf, out_name, ckpt=None):
+    return PipelineConfig(
+        seqs_to_polish=draft,
+        polishing_seqs=reads,
+        output_seqs=str(tmp_path / out_name),
+        mappings_path=paf,
+        k_values=[32, 28],
+        batch_size=2,
+        run_sealer=False,
+        workspace=str(tmp_path / "ws"),
+        checkpoint=ckpt,
+    )
+
+
+def test_single_host_resume_skips_done_batches(tmp_path):
+    draft, reads, paf = _scenario(tmp_path)
+    # reference run (no checkpoint)
+    bulk.run_bulk(_cfg(tmp_path, draft, reads, paf, "ref.fa"))
+    ref = open(tmp_path / "ref.fa").read()
+
+    # simulate a preempted run: batch 0 done + checkpointed with SENTINEL
+    # content (proves the resume replays the file instead of re-polishing)
+    ckpt = str(tmp_path / "ckpt.jsonl")
+    ckpt_dir = ckpt + ".batches"
+    os.makedirs(ckpt_dir)
+    with open(ckpt, "w") as f:
+        f.write(json.dumps({"batch": 0}) + "\n")
+    sentinel = [("ctg0 SENTINEL", "ACGT" * 8), ("ctg1 SENTINEL", "TTTT" * 8)]
+    dist.write_batch_output(os.path.join(ckpt_dir, "out"), 0, sentinel)
+
+    stats = bulk.run_bulk(_cfg(tmp_path, draft, reads, paf, "res.fa", ckpt))
+    res = open(tmp_path / "res.fa").read()
+    assert stats["resumed_batches"] == 1
+    assert res.startswith(">ctg0 SENTINEL\n")  # batch 0 NOT re-polished
+    # batches 1.. byte-identical to the reference run
+    ref_tail = ref.split(">ctg2")[1]
+    res_tail = res.split(">ctg2")[1]
+    assert res_tail == ref_tail
+    # completion cleans the checkpoint state
+    assert not os.path.exists(ckpt)
+    assert not os.path.exists(ckpt_dir)
+
+
+def test_resume_declines_when_replay_file_missing(tmp_path):
+    draft, reads, paf = _scenario(tmp_path)
+    bulk.run_bulk(_cfg(tmp_path, draft, reads, paf, "ref.fa"))
+    ref = open(tmp_path / "ref.fa").read()
+
+    ckpt = str(tmp_path / "ckpt.jsonl")
+    with open(ckpt, "w") as f:
+        f.write(json.dumps({"batch": 0}) + "\n")  # done but no file
+    stats = bulk.run_bulk(_cfg(tmp_path, draft, reads, paf, "res.fa", ckpt))
+    assert stats["resumed_batches"] == 0
+    assert open(tmp_path / "res.fa").read() == ref  # re-polished correctly
+
+
+def test_reaper_resumes_from_progress(tmp_path):
+    out = str(tmp_path / "out.fa")
+    batches = [[(f"b{i}", "ACGT" * (i + 1))] for i in range(4)]
+    # first run reaps batches 0-1 then "dies"
+    for i in (0, 1):
+        dist.write_batch_output(out, i, batches[i])
+    dist.reap(out, 2, resumable=True)
+    # progress file was removed on completion of n=2; simulate mid-run death
+    with open(dist.reap_progress_path(out), "w") as f:
+        f.write("2")
+    assert dist.reaped_through(out) == 2
+    for i in (2, 3):
+        dist.write_batch_output(out, i, batches[i])
+    dist.reap(out, 4, resumable=True)
+    text = open(out).read()
+    assert text == "".join(f">b{i}\n{'ACGT' * (i + 1)}\n" for i in range(4))
+    assert not os.path.exists(dist.reap_progress_path(out))
+    assert dist.reaped_through(out) == 0

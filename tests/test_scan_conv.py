@@ -79,7 +79,7 @@ def test_scanpipe_multi_chunk_stitching():
     codes = _rand_codes(5000, seed=11)
     bf, want = _bf_with(codes, k, h)
     scanner = sc.DeviceScanner(bf, force_probe="gather")
-    pipe = ScanPipe(scanner, k, chunk_windows=700, depth=2)
+    pipe = ScanPipe(scanner, k, row_windows=700, rows=2, depth=2)
     jobs = [(0, codes), (1, codes[:10]), (2, codes[100:2100])]
     got = dict(pipe.run(jobs))
     assert np.array_equal(got[0], want)
