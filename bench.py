@@ -125,7 +125,7 @@ def build_scenario(n_bases: int, n_contigs: int, seed: int = 0):
     return truths, drafts, batch_bfs, n_err, bf_build_s, read_bases
 
 
-def _timed_chain(engines, drafts, procs, reps=2):
+def _timed_chain(engines, drafts, procs, reps=3):
     """Time the multi-k editing chain (each k's output feeds the next —
     reference scripts/goldpolish-ntedit:20-29)."""
 

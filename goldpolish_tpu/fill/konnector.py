@@ -261,9 +261,11 @@ class _BidiSearch:
 
     FORWARD, REVERSE = 0, 1
 
+    MEM_COUNTER_ROLLOVER = 1000  # reference ConstrainedBidiBFSVisitor.h:344
+
     def __init__(self, dbg: DBG, start: str, goal: str, max_paths: int,
                  min_path_len: int, max_path_len: int, max_branches: int,
-                 max_cost: int):
+                 max_cost: int, mem_limit: int = NO_LIMIT):
         self.dbg = dbg
         self.start = start
         self.goal = goal
@@ -272,6 +274,7 @@ class _BidiSearch:
         self.max_path_len = max_path_len
         self.max_branches = max_branches
         self.max_cost = max_cost
+        self.mem_limit = mem_limit
         max_depth = max_path_len - 1
         self.max_depth = [max_depth // 2 + max_depth % 2, max_depth // 2]
         self.depth = [dict(), dict()]
@@ -285,6 +288,34 @@ class _BidiSearch:
         self.too_many_paths = False
         self.too_many_branches = False
         self.max_cost_exceeded = False
+        self.exceeded_mem_limit = False
+        self._trav_edges = 0
+        self._mem_counter = 0
+
+    def approx_mem_usage(self) -> int:
+        """Approximate visitor memory (bytes): the Python analogue of the
+        reference's approxMemUsage (traversal HashGraphs + depth maps,
+        ConstrainedBidiBFSVisitor.h:275-282, HashGraph.h:52-62).  Entry
+        costs model CPython dict slots + the k-char vertex strings."""
+        k = len(self.start)
+        per_vertex = 160 + k  # dict slot + key str + depth int
+        per_edge = 60 + k     # adjacency-list slot + held vertex str
+        n_vertices = len(self.depth[0]) + len(self.depth[1])
+        return n_vertices * per_vertex + self._trav_edges * per_edge
+
+    def _check_mem(self) -> bool:
+        """True to continue; False aborts the search (EXCEEDED_MEM_LIMIT).
+        Checked every MEM_COUNTER_ROLLOVER edge traversals, like the
+        reference (checkMemLimit, ConstrainedBidiBFSVisitor.h:342-354)."""
+        if self.mem_limit == NO_LIMIT:
+            return True
+        self._mem_counter += 1
+        if self._mem_counter >= self.MEM_COUNTER_ROLLOVER:
+            self._mem_counter = 0
+            if self.approx_mem_usage() > self.mem_limit:
+                self.exceeded_mem_limit = True
+                return False
+        return True
 
     def _record_traversal(self, dirn, u, v):
         # FORWARD records v -> u (edges pointing back toward start);
@@ -293,6 +324,7 @@ class _BidiSearch:
             self.trav[self.FORWARD].setdefault(v, []).append(u)
         else:
             self.trav[self.REVERSE].setdefault(u, []).append(v)
+        self._trav_edges += 1
 
     def _init_run(self):
         F, R = self.FORWARD, self.REVERSE
@@ -359,6 +391,8 @@ class _BidiSearch:
 
     def _visit_edge(self, dirn, u, v, q) -> bool:
         """Returns False to abort the whole search."""
+        if not self._check_mem():
+            return False
         F, R = self.FORWARD, self.REVERSE
         child = v if dirn == F else u
         parent = u if dirn == F else v
@@ -448,6 +482,8 @@ class _BidiSearch:
             return "TOO_MANY_BRANCHES", []
         if self.max_cost_exceeded:
             return "MAX_COST_EXCEEDED", []
+        if self.exceeded_mem_limit:
+            return "EXCEEDED_MEM_LIMIT", []
         found = []
         overall = "NO_PATH"
         for (u, v) in self.common_edges:
@@ -524,6 +560,9 @@ class ConnectPairsParams:
     max_cost: int = NO_LIMIT
     max_path_mismatches: int = NO_LIMIT
     max_read_mismatches: int = NO_LIMIT
+    # searchMem: per-search visitor memory cap (reference sealer.cpp:203
+    # default 500 MiB/thread, konnector params.memLimit at :955)
+    mem_limit: int = NO_LIMIT
 
 
 def _prepare_search(dbg: DBG, read1: str, read2: str,
@@ -559,6 +598,7 @@ def _prepare_search(dbg: DBG, read1: str, read2: str,
     search = _BidiSearch(
         dbg, start_kmer, goal_kmer, params.max_paths, min_path_len,
         max_path_len, params.max_branches, params.max_cost,
+        mem_limit=params.mem_limit,
     )
     return res, search
 

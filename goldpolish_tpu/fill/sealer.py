@@ -75,6 +75,7 @@ class SealerConfig:
     max_paths: int = 10  # -P (pipeline) — default 2 in sealer itself
     max_branches: int = 1000  # -B (pipeline)
     max_cost: int = 100000  # -C default
+    search_mem: int = 500 * 1024 * 1024  # --mem per search (sealer.cpp:203)
     lower: bool = True  # --lower
     max_mismatches: int = NO_LIMIT
     verbose: bool = False
@@ -171,6 +172,7 @@ def seal_records(records, bfs_by_k: dict[int, object], cfg: SealerConfig,
             max_branches=cfg.max_branches,
             max_cost=cfg.max_cost,
             max_path_mismatches=cfg.max_mismatches,
+            mem_limit=cfg.search_mem,
         )
         counters = {c: 0 for c in COUNTER_NAMES}
         closed_keys = []

@@ -354,9 +354,11 @@ def polish_contig(seq: bytes, bf, cfg, tables, bloomrep=None,
 
     present: optional primary-BF probe results of every raw-draft window
     (e.g. from the device dense scan); the walk uses them only where
-    provably valid.  Returns (edited_bytes, subs_records, WalkStats)."""
-    if cfg.snv:
-        raise ValueError("snv mode is not supported by the native walk")
+    provably valid.  Returns (edited_bytes, subs_records, WalkStats).
+
+    SNV mode (cfg.snv, reference ntedit.cpp:1540-1556): every window is
+    treated as missing, the draft base competes as the support baseline,
+    and tables must be built with make_tables(..., snv=True)."""
     L = lib()
     if not hasattr(L, "gp_polish_contig_configured"):
         u8p = ctypes.POINTER(ctypes.c_uint8)
@@ -370,6 +372,7 @@ def polish_contig(seq: bytes, bf, cfg, tables, bloomrep=None,
             ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
             ctypes.c_int32, ctypes.c_int32,
             ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_int32,
             u8p, i32p,
             u8p, i32p, ctypes.c_int32,
             u8p, ctypes.c_int64, i64p,
@@ -411,6 +414,7 @@ def polish_contig(seq: bytes, bf, cfg, tables, bloomrep=None,
             cfg.jump, cfg.insertion_cap,
             _bail_needed(cfg.thr_edit), _bail_needed(cfg.thr_del),
             _bail_needed(cfg.thr_missing),
+            1 if cfg.snv else 0,
             _u8ptr(sub_cand),
             sub_cand_n.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
             _u8ptr(combo_codes),

@@ -843,6 +843,7 @@ struct WalkCtx {
   uint32_t k, hn_;
   int32_t mode, mask, max_ins, max_del, jump, ins_cap;
   int32_t bail_edit, bail_del, bail_missing;
+  int32_t snv = 0;  // SNV mode (reference ntedit.cpp:1540-1556)
   const uint8_t* bf; uint64_t bits;
   const uint8_t* bf2; uint64_t bits2;  // secondary (repeat) BF, nullable
   const uint8_t* sub_cand; const int32_t* sub_cand_n;
@@ -1481,10 +1482,16 @@ bool run_indel_trials_c(WalkCtx& w, uint8_t draft, int32_t ci,
   return false;
 }
 
-// oracle run_trials (reference ntedit.cpp:1525-1713), non-SNV
+// oracle run_trials (reference ntedit.cpp:1525-1713); check_there is the
+// SNV-mode draft-base support baseline (reference :1540-1556 -- the draft
+// char competes as "ORI BEST SUB BASE" with edit_type left unset)
 Best run_trials_c(WalkCtx& w, uint8_t draft, const Cursor& st, uint64_t fh,
-                  uint64_t rh) {
+                  uint64_t rh, int32_t check_there = 0) {
   Best best;
+  if (w.snv && check_there >= w.bail_edit) {
+    best.sub_base = draft;
+    best.num_support = check_there;
+  }
   int32_t num_deletions = 1;
   std::memset(w.del_done, 0, sizeof(w.del_done));
   const int32_t nb = w.sub_cand_n[draft];
@@ -1624,6 +1631,7 @@ int gp_polish_contig(
     int32_t mode, int32_t mask_flag, int32_t max_ins, int32_t max_del,
     int32_t jump, int32_t insertion_cap,
     int32_t bail_edit, int32_t bail_del, int32_t bail_missing,
+    int32_t snv,
     const uint8_t* sub_cand, const int32_t* sub_cand_n,
     const uint8_t* combo_codes, const int32_t* combo_len, int32_t n_combos,
     uint8_t* out_seq, int64_t out_cap, int64_t* out_len,
@@ -1642,6 +1650,7 @@ int gp_polish_contig(
   w.bail_edit = bail_edit;
   w.bail_del = bail_del;
   w.bail_missing = bail_missing;
+  w.snv = snv;
   w.bf = bf;
   w.bits = bf_bytes * 8;
   w.bf2 = bf2;
@@ -1694,7 +1703,7 @@ int gp_polish_contig(
     }
     first = false;
     if (st.h + (int64_t)k - 1 >= n) break;
-    bool missing = !probe_primary(w, w.fh, w.rh);
+    bool missing = w.snv || !probe_primary(w, w.fh, w.rh);
     if (!missing) {
       // bulk clean-run fast path: when the cursor sits in the trailing
       // pure-draft node, windows are contiguous seq bytes — zero-copy run.
@@ -1804,6 +1813,7 @@ int gp_polish_contig(
       uint64_t tfh = w.fh, trh = w.rh;
       const uint8_t draft = kTabs.upper[w.char_in];
       int32_t check_missing = 0;
+      int32_t check_there = 0;  // SNV draft-base support (oracle :952)
       bool do_not_fix = false;
       uint32_t kk = 0;
       while (kk < k && tmp.h < n) {
@@ -1814,15 +1824,18 @@ int gp_polish_contig(
             do_not_fix = true;
             break;
           }
-          if (kk % jump == 0 && !probe_primary(w, tfh, trh)) check_missing++;
+          if (kk % jump == 0) {
+            if (!probe_primary(w, tfh, trh)) check_missing++;
+            else if (kTabs.atgc[draft]) check_there++;
+          }
         } else {
           do_not_fix = true;
           break;
         }
         kk++;
       }
-      if (!do_not_fix && check_missing >= bail_missing) {
-        Best best = run_trials_c(w, draft, st, w.fh, w.rh);
+      if (w.snv || (!do_not_fix && check_missing >= bail_missing)) {
+        Best best = run_trials_c(w, draft, st, w.fh, w.rh, check_there);
         make_edit_c(w, draft, best);
       }
     }

@@ -178,7 +178,68 @@ def fill_bfs(
         thresh += 1
 
 
+# --- "BlOOMFXX" interop (the reference's vendored ntEdit BloomFilter.hpp) ----
+# Packed on-disk header (reference: subprojects/ntedit/lib/BloomFilter.hpp:32-41,
+# #pragma pack(1)): magic[8] hlen:u32 size:u64(bits) nhash:u32 kmer:u32
+# dFPR:f64 nEntry:u64 tEntry:u64, followed by (size+7)/8 raw filter bytes.
+# That filter addresses bit i as byte i/8, bit (7 - i%8) — MSB-first within
+# the byte (BloomFilter.hpp:81) — while this package (and btllib) use
+# LSB-first (bit i&7), so conversion reverses the bits of every byte.
+# btllib's own .bf container is NOT re-implemented: its source is not
+# vendored in the reference tree and is unavailable in this environment to
+# match byte-for-byte; the vendored format here is the one the reference
+# ships and the one we can pin exactly.
+_NTEDIT_MAGIC = b"BlOOMFXX"
+_NTEDIT_HEADER = "<8sIQIIdQQ"
+
+_BITREV = np.array(
+    [int(f"{i:08b}"[::-1], 2) for i in range(256)], dtype=np.uint8
+)
+
+
+def save_ntedit_bf(bf: BloomFilter, path: str) -> None:
+    """Write in the reference's vendored ntEdit BloomFilter format."""
+    import struct
+
+    header = struct.pack(
+        _NTEDIT_HEADER, _NTEDIT_MAGIC, struct.calcsize(_NTEDIT_HEADER),
+        bf.bytes * 8, bf.hash_num, bf.k,
+        float((bf.pop_count / (bf.bytes * 8)) ** bf.hash_num), 0, 0,
+    )
+    with open(path, "wb") as f:
+        f.write(header)
+        f.write(_BITREV[bf.array].tobytes())
+
+
+def load_ntedit_bf(path: str) -> BloomFilter:
+    """Read a vendored-ntEdit-format filter into this package's layout."""
+    import struct
+
+    hlen = struct.calcsize(_NTEDIT_HEADER)
+    with open(path, "rb") as f:
+        raw = f.read(hlen)
+        magic, _hl, size, nhash, kmer, _fpr, _ne, _te = struct.unpack(
+            _NTEDIT_HEADER, raw
+        )
+        if magic != _NTEDIT_MAGIC:
+            raise ValueError(f"{path}: not a {_NTEDIT_MAGIC!r} Bloom filter")
+        if size % 8:
+            raise ValueError(
+                f"{path}: bit count {size} is not byte-aligned; this "
+                "package's probes index bits as bytes*8"
+            )
+        data = np.frombuffer(f.read((size + 7) // 8), np.uint8)
+    bf = BloomFilter(size // 8, nhash, kmer)
+    bf.array = _BITREV[data].copy()
+    return bf
+
+
 def load_any(path: str) -> BloomFilter:
+    """Load a filter in either supported on-disk format (by magic)."""
     if not os.path.exists(path):
         raise FileNotFoundError(path)
+    with open(path, "rb") as f:
+        head = f.read(8)
+    if head == _NTEDIT_MAGIC:
+        return load_ntedit_bf(path)
     return BloomFilter.load(path)

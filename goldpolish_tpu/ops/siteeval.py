@@ -76,7 +76,8 @@ class SiteTables:
 
 
 @lru_cache(maxsize=8)
-def make_tables(k: int, jump: int = 3, max_ins: int = 5, max_del: int = 5) -> SiteTables:
+def make_tables(k: int, jump: int = 3, max_ins: int = 5, max_del: int = 5,
+                snv: bool = False) -> SiteTables:
     j_sub = np.array([kk + 1 for kk in range(0, k) if kk % jump == 0], np.int32)
     j_ins = np.array([kk + 1 for kk in range(0, k - 1) if kk % jump == 0], np.int32)
     j_del = np.array(
@@ -93,7 +94,12 @@ def make_tables(k: int, jump: int = 3, max_ins: int = 5, max_del: int = 5) -> Si
             combo_len[ci] = len(combo)
     sub_cand = np.zeros((256, 4), np.uint8)
     sub_cand_n = np.zeros(256, np.int32)
-    for c, bases in POLISH_BASES.items():
+    # SNV mode swaps the candidate sets (reference ntedit.cpp:158-194
+    # snv_bases_array): every draft char trials all four bases
+    from ..polish.ntedit_oracle import SNV_BASES
+
+    base_sets = SNV_BASES if snv else POLISH_BASES
+    for c, bases in base_sets.items():
         sub_cand[ord(c), : len(bases)] = np.frombuffer(bases.encode(), np.uint8)
         sub_cand_n[ord(c)] = len(bases)
     return SiteTables(

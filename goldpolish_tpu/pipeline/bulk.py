@@ -198,6 +198,7 @@ def run_bulk(cfg: PipelineConfig) -> dict:
     ws = engine.Workspace(
         prefix=f"goldpolish-tpu-{os.getpid()}",
         base=cfg.workspace or None,
+        signal_safe=True,
     )
     try:
         target_index, reads_index = build_indexes(cfg, ws.dir)

@@ -171,21 +171,76 @@ async def run_pipeline(
 class Workspace:
     """Scratch directory with guaranteed cleanup (autocleaner semantics,
     reference: scripts/goldpolish-autoclean:42-64).  Prefers /dev/shm like
-    the reference (scripts/goldpolish:612-619)."""
+    the reference (scripts/goldpolish:612-619).
 
-    def __init__(self, prefix: str, base: str | None = None, keep: bool = False):
+    signal_safe=True additionally scrubs the workspace on SIGTERM / SIGINT /
+    SIGHUP and at interpreter exit (the reference autocleaner registers
+    TERM/INT/SEGV/PIPE + atexit) — without it, a kill mid-run leaks the
+    /dev/shm directory.  The original signal disposition is restored and the
+    signal re-delivered, so exit codes are unchanged.
+    """
+
+    def __init__(self, prefix: str, base: str | None = None, keep: bool = False,
+                 signal_safe: bool = False):
         if base is None:
             base = "/dev/shm" if os.path.isdir("/dev/shm") and os.access(
                 "/dev/shm", os.W_OK
             ) else "."
         self.dir = os.path.join(base, prefix)
         self.keep = keep
+        self._restore: list = []
+        self._owner_pid = os.getpid()
         os.makedirs(self.dir, exist_ok=True)
+        if signal_safe:
+            self._install_handlers()
+
+    def _install_handlers(self) -> None:
+        import atexit
+        import signal
+
+        atexit.register(self.cleanup)
+        self._atexit_registered = True
+        for sig in (signal.SIGTERM, signal.SIGINT, signal.SIGHUP):
+            try:
+                prev = signal.getsignal(sig)
+
+                def handler(signum, frame, prev=prev):
+                    self.cleanup()
+                    try:
+                        signal.signal(
+                            signum,
+                            prev if prev is not None else signal.SIG_DFL,
+                        )
+                    except (TypeError, ValueError):
+                        signal.signal(signum, signal.SIG_DFL)
+                    os.kill(os.getpid(), signum)  # re-deliver
+
+                signal.signal(sig, handler)
+                self._restore.append((sig, prev))
+            except (ValueError, OSError):  # non-main thread / exotic env
+                continue
 
     def path(self, *parts: str) -> str:
         return os.path.join(self.dir, *parts)
 
     def cleanup(self) -> None:
+        # forked children inherit handlers/atexit; only the creator cleans
+        if os.getpid() != self._owner_pid:
+            return
+        if getattr(self, "_atexit_registered", False):
+            import atexit
+
+            atexit.unregister(self.cleanup)
+            self._atexit_registered = False
+        if self._restore:
+            import signal
+
+            for sig, prev in self._restore:
+                try:
+                    signal.signal(sig, prev if prev is not None else signal.SIG_DFL)
+                except (TypeError, ValueError, OSError):
+                    pass
+            self._restore = []
         if self.keep:
             return
         import shutil

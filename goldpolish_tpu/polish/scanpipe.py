@@ -73,8 +73,16 @@ class ScanPipe:
         self.waits = 0
         self.calls = 0
         self.wait_s = 0.0
+        # wait excluding the first call, which bears XLA compile + device
+        # warmup — the number adaptive placement should reason about
+        self.wait_steady_s = 0.0
 
     # -- planning ---------------------------------------------------------
+    def _call_rows(self, call_idx: int) -> int:
+        """Ramp-up: the first calls are small so the first walk can start
+        after ~one row's scan latency instead of a full call's."""
+        return min(self.rows, 1 << call_idx)
+
     def _plan(self, jobs) -> list[_Call]:
         k = self.k
         calls: list[_Call] = [_Call()]
@@ -86,7 +94,7 @@ class ScanPipe:
                 if off + k > self.row_bytes:  # no room for even one window
                     row += 1
                     off = 0
-                    if row == self.rows:
+                    if row == self._call_rows(len(calls) - 1):
                         calls.append(_Call())
                         row = 0
                 take = min(nw - a, self.row_bytes - off - (k - 1))
@@ -95,8 +103,8 @@ class ScanPipe:
                 a += take
         return [c for c in calls if c.segs]
 
-    def _dispatch(self, jobs, call: _Call):
-        buf = np.zeros((self.rows, self.row_bytes), np.uint8)
+    def _dispatch(self, jobs, call: _Call, call_idx: int):
+        buf = np.zeros((self._call_rows(call_idx), self.row_bytes), np.uint8)
         for s in call.segs:
             codes = jobs[s.job][1]
             buf[s.row, s.off : s.off + s.nw + self.k - 1] = codes[
@@ -107,56 +115,73 @@ class ScanPipe:
 
     # -- execution --------------------------------------------------------
     def run(self, jobs):
-        """Generator of (job_id, present) in input order."""
+        """Returns a generator of (job_id, present) in input order.
+
+        The first `depth+1` device calls are dispatched EAGERLY (before the
+        first next()), so a caller may start host work between run() and
+        iteration with the device already scanning.
+        """
         import time
 
         k = self.k
         jobs = list(jobs)
         calls = self._plan(jobs)
         inflight: deque = deque()
-        pos = 0
+        state = {"pos": 0}
 
         def pump():
-            nonlocal pos
-            while pos < len(calls) and len(inflight) < self.depth + 1:
-                inflight.append((calls[pos], self._dispatch(jobs, calls[pos])))
-                pos += 1
+            while state["pos"] < len(calls) and len(inflight) < self.depth + 1:
+                pos = state["pos"]
+                inflight.append((calls[pos], self._dispatch(jobs, calls[pos], pos)))
+                state["pos"] += 1
 
-        pump()
-        parts: dict[int, list[np.ndarray]] = {}
-        done: dict[int, np.ndarray] = {}
-        need = {ji: max(0, len(c) - k + 1) for ji, (_j, c) in enumerate(jobs)}
-        next_ji = 0
+        pump()  # eager: the device is busy before the generator is consumed
 
-        def emit_ready():
-            nonlocal next_ji
-            while next_ji < len(jobs):
-                if need[next_ji] == 0:
-                    yield jobs[next_ji][0], np.zeros(0, bool)
-                elif next_ji in done:
-                    yield jobs[next_ji][0], done.pop(next_ji)
-                else:
-                    return
-                next_ji += 1
+        def gen():
+            first_wait = True
+            parts: dict[int, list[np.ndarray]] = {}
+            done: dict[int, np.ndarray] = {}
+            need = {
+                ji: max(0, len(c) - k + 1) for ji, (_j, c) in enumerate(jobs)
+            }
+            next_ji = 0
 
-        for call, fut in iter(lambda: inflight.popleft() if inflight else None,
-                              None):
-            pump()  # keep the device queue full before blocking
-            t0 = time.perf_counter()
-            packed = np.asarray(fut)  # blocks for THIS call only
-            dt = time.perf_counter() - t0
-            self.wait_s += dt
-            if dt > 0.002:
-                self.waits += 1
-            bits = np.unpackbits(packed, axis=1, bitorder="little")
-            for s in call.segs:
-                parts.setdefault(s.job, []).append(
-                    bits[s.row, s.off : s.off + s.nw].astype(bool)
-                )
-                got = sum(len(p) for p in parts[s.job])
-                if got == need[s.job]:
-                    ps = parts.pop(s.job)
-                    done[s.job] = ps[0] if len(ps) == 1 else np.concatenate(ps)
+            def emit_ready():
+                nonlocal next_ji
+                while next_ji < len(jobs):
+                    if need[next_ji] == 0:
+                        yield jobs[next_ji][0], np.zeros(0, bool)
+                    elif next_ji in done:
+                        yield jobs[next_ji][0], done.pop(next_ji)
+                    else:
+                        return
+                    next_ji += 1
+
+            while inflight:
+                call, fut = inflight.popleft()
+                pump()  # keep the device queue full before blocking
+                t0 = time.perf_counter()
+                packed = np.asarray(fut)  # blocks for THIS call only
+                dt = time.perf_counter() - t0
+                self.wait_s += dt
+                if not first_wait:
+                    self.wait_steady_s += dt
+                first_wait = False
+                if dt > 0.002:
+                    self.waits += 1
+                bits = np.unpackbits(packed, axis=1, bitorder="little")
+                for s in call.segs:
+                    parts.setdefault(s.job, []).append(
+                        bits[s.row, s.off : s.off + s.nw].astype(bool)
+                    )
+                    got = sum(len(p) for p in parts[s.job])
+                    if got == need[s.job]:
+                        ps = parts.pop(s.job)
+                        done[s.job] = (
+                            ps[0] if len(ps) == 1 else np.concatenate(ps)
+                        )
+                yield from emit_ready()
             yield from emit_ready()
-        yield from emit_ready()
-        assert next_ji == len(jobs), "scan pipe under-delivered"
+            assert next_ji == len(jobs), "scan pipe under-delivered"
+
+        return gen()

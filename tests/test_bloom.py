@@ -180,3 +180,29 @@ def test_native_stream_fill_matches_per_read():
                            skip_promoted=True)
     for ki in range(len(ks)):
         assert np.array_equal(bf_d[ki].array, bf_c[ki].array)
+
+
+def test_ntedit_bf_format_roundtrip(tmp_path):
+    """'BlOOMFXX' interop (the reference's vendored ntEdit BloomFilter.hpp):
+    header layout + MSB-first bit order convert losslessly."""
+    import struct
+
+    rng = np.random.default_rng(9)
+    bf = bloom.BloomFilter(1 << 12, 3, 24)
+    hashes = rng.integers(0, 1 << 63, (500, 3), dtype=np.uint64)
+    bf.insert(hashes)
+    p = str(tmp_path / "f.bf")
+    bloom.save_ntedit_bf(bf, p)
+    # pinned header layout (BloomFilter.hpp:32-41, pack(1))
+    raw = open(p, "rb").read(52)
+    magic, hlen, size, nhash, kmer = struct.unpack("<8sIQII", raw[:28])
+    assert magic == b"BlOOMFXX" and hlen == 52
+    assert size == bf.bytes * 8 and nhash == 3 and kmer == 24
+    # the on-disk filter addresses bit i MSB-first: spot-check one set bit
+    bit0 = int((hashes[0, 0] % bf.bits))
+    disk = np.frombuffer(open(p, "rb").read()[52:], np.uint8)
+    assert (disk[bit0 // 8] >> (7 - bit0 % 8)) & 1
+    back = bloom.load_any(p)
+    assert np.array_equal(back.array, bf.array)
+    assert (back.hash_num, back.k) == (3, 24)
+    assert np.array_equal(back.contains(hashes), bf.contains(hashes))

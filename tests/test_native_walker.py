@@ -258,3 +258,49 @@ def test_unsupported_config_falls_back_to_python_engine():
     out_e, recs_e, _ = NtEditTPU(cfg, bf).polish_contig(draft)
     assert out_e == out_o
     assert recs_e == recs_o
+
+
+@pytest.mark.parametrize("mode", [0, 1])
+@pytest.mark.parametrize("use_ratio", [True, False])
+def test_walker_snv_matches_oracle(mode, use_ratio):
+    """SNV mode (-s, reference ntedit.cpp:1540-1556) in the native walk is
+    byte-identical to the oracle: every window trialed, the draft base
+    competing as the support baseline."""
+    rng = np.random.default_rng(17)
+    truth, draft = _mutated(rng, n=3000, n_err=10, kinds="sid")
+    bf = _bf_from(truth)
+    cfg = ne.Config(k=K, h=H, use_ratio=use_ratio, mode=mode, mask=1, snv=1)
+    want_out, want_recs, want_ed = ne.polish_contig(draft, bf, cfg)
+    tables = siteeval.make_tables(
+        cfg.k, cfg.jump, cfg.max_insertions, cfg.max_deletions, snv=True
+    )
+    got_out, got_recs, got_st = native.polish_contig(draft, bf, cfg, tables)
+    assert got_out == want_out
+    assert got_recs == want_recs
+    assert (got_st.n_subs, got_st.n_ins, got_st.n_dels, got_st.n_masked) == (
+        want_ed.n_subs, want_ed.n_ins, want_ed.n_dels, want_ed.n_masked
+    )
+
+
+def test_engine_snv_routes_and_matches():
+    """NtEditTPU accepts snv configs: native walk when available, oracle
+    fallback otherwise — identical outputs."""
+    from goldpolish_tpu.polish.ntedit_tpu import NtEditTPU
+
+    rng = np.random.default_rng(23)
+    truth, draft = _mutated(rng, n=2000, n_err=6, kinds="s")
+    bf = _bf_from(truth)
+    cfg = ne.Config(k=K, h=H, use_ratio=True, mode=1, mask=1, snv=1)
+    want_out, want_recs, _ = ne.polish_contig(draft, bf, cfg)
+    eng = NtEditTPU(cfg, bf, backend="numpy")
+    got_out, got_recs, _ = eng.polish_contig(draft)
+    assert (got_out, got_recs) == (want_out, want_recs)
+    import os
+
+    os.environ["GPTPU_NO_NATIVE_WALK"] = "1"
+    try:
+        eng2 = NtEditTPU(cfg, bf, backend="numpy")
+        got2, recs2, _ = eng2.polish_contig(draft)
+    finally:
+        os.environ.pop("GPTPU_NO_NATIVE_WALK", None)
+    assert (got2, recs2) == (want_out, want_recs)

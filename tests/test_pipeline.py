@@ -175,3 +175,33 @@ def test_bulk_pipeline_device_bf_build(tmp_path):
     assert totals["contigs"] == 3
     for r, t in zip(fasta.read_seqs(out), truths):
         assert r.seq.rstrip("Nn") == t.strip("N"), f"{r.id} not recovered"
+
+
+def test_workspace_signal_cleanup(tmp_path):
+    """SIGTERM mid-run scrubs the workspace (autocleaner semantics,
+    reference goldpolish-autoclean:42-64)."""
+    import signal
+    import subprocess
+    import sys
+    import time
+
+    script = f"""
+import sys, time
+sys.path.insert(0, {repr(os.getcwd())})
+from goldpolish_tpu.pipeline.engine import Workspace
+ws = Workspace("sigtest", base={str(tmp_path)!r}, signal_safe=True)
+print(ws.dir, flush=True)
+time.sleep(30)
+"""
+    p = subprocess.Popen(
+        [sys.executable, "-c", script], stdout=subprocess.PIPE, text=True
+    )
+    ws_dir = p.stdout.readline().strip()
+    assert os.path.isdir(ws_dir)
+    p.send_signal(signal.SIGTERM)
+    rc = p.wait(timeout=20)
+    assert rc != 0  # original disposition re-delivered
+    deadline = time.time() + 5
+    while os.path.isdir(ws_dir) and time.time() < deadline:
+        time.sleep(0.05)
+    assert not os.path.isdir(ws_dir)

@@ -208,3 +208,34 @@ def test_connect_pairs_batch_matches_serial():
             assert b.consensus == s.consensus
             assert b.cost == s.cost
             assert b.num_nodes_visited == s.num_nodes_visited
+
+
+def test_mem_limit_aborts_search():
+    """A tiny searchMem budget aborts a branchy search with
+    EXCEEDED_MEM_LIMIT (reference ConstrainedBidiBFSVisitor.h memLimit,
+    sealer.cpp:203) — and the exceededMemLimit counter can fire."""
+    import numpy as np
+
+    from goldpolish_tpu.ops import bloom, nthash as nt
+
+    k = 16
+    rng = np.random.default_rng(0)
+    # saturated filter: every probe hits -> maximal branching
+    bf = bloom.BloomFilter(1 << 10, 2, k)
+    bf.array[:] = 0xFF
+    left = "".join(rng.choice(list("ACGT"), 40))
+    right = "".join(rng.choice(list("ACGT"), 40))
+    dbg = konnector.DBG(bf, k)
+    params = konnector.ConnectPairsParams(
+        max_merged_seq_len=300, max_paths=1000000, max_branches=1000000,
+        max_cost=10_000_000, mem_limit=50_000,
+    )
+    res = konnector.connect_pairs(dbg, left, right, params)
+    assert res.path_result == "EXCEEDED_MEM_LIMIT"
+    # same search with the default (large) budget does not trip the limit
+    params2 = konnector.ConnectPairsParams(
+        max_merged_seq_len=300, max_paths=2, max_branches=100,
+        max_cost=100000, mem_limit=500 * 1024 * 1024,
+    )
+    res2 = konnector.connect_pairs(dbg, left, right, params2)
+    assert res2.path_result != "EXCEEDED_MEM_LIMIT"
