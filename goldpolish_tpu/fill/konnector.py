@@ -207,9 +207,12 @@ class DeviceDBG(DBG):
         return [b + suffix for b, ok in zip("ACGT", m) if ok]
 
 
-def get_start_kmer_pos(dbg: DBG, seq: str, num_matches_threshold: int = 3) -> int:
+def get_start_kmer_pos(dbg: DBG, seq: str, num_matches_threshold: int = 3,
+                       anchor_to_end: bool = False) -> int:
     """Anchor k-mer choice, FORWARD direction (right-to-left scan with
-    skip-aware run counting) — reference DBGBloomAlgorithms.h:51-108."""
+    skip-aware run counting) — reference DBGBloomAlgorithms.h:51-108.
+    anchor_to_end (preserveReads): every k-mer from the end of the read up
+    to the anchor must match — the scan stops at the first break."""
     k = dbg.k
     if len(seq) < k:
         return NO_MATCH
@@ -226,16 +229,49 @@ def get_start_kmer_pos(dbg: DBG, seq: str, num_matches_threshold: int = 3) -> in
             if match_count > max_len:
                 max_pos = p + 1
                 max_len = match_count
+            if anchor_to_end:
+                break
             match_count = 0
         else:
             match_count += 1
             if match_count >= num_matches_threshold:
                 return p
         prev_pos = p
-    if match_count > max_len:
-        max_pos = prev_pos
-        max_len = match_count
+    else:
+        if match_count > max_len:
+            max_pos = prev_pos
+            max_len = match_count
     return max_pos if max_len > 0 else NO_MATCH
+
+
+def correct_single_base_error(dbg: DBG, read: str):
+    """Fix the highest-scoring single-base substitution (reference
+    DBGBloomAlgorithms.h:127-180, fixErrors path): for every position and
+    alternative base, count graph k-mers of the +-(k-1) overlap window that
+    would exist after the change; keep candidates scoring > 3 and apply the
+    best (first max wins).  Returns (fixed, corrected_read, pos)."""
+    k = dbg.k
+    if len(read) < k:
+        return False, read, -1
+    min_score = 3
+    best = None  # (score, pos, base) — strictly-greater comparisons
+    for i in range(len(read)):
+        lo = max(i - k + 1, 0)
+        hi = min(i + k - 1, len(read) - 1)
+        window = read[lo : hi + 1]
+        change = i - lo
+        for b in "AGCT":
+            if read[i] == b:
+                continue
+            cand = window[:change] + b + window[change + 1 :]
+            pres, valid = dbg.window_probes(cand)
+            score = int((pres & valid).sum())
+            if score > min_score and (best is None or score > best[0]):
+                best = (score, i, b)
+    if best is None:
+        return False, read, -1
+    _score, pos, b = best
+    return True, read[:pos] + b + read[pos + 1 :], pos
 
 
 @dataclass
@@ -253,6 +289,10 @@ class SearchResult:
     consensus: str = ""
     read_mismatches: int = 0
     path_mismatches: int = 0
+    # fixErrors: the corrected read actually used for anchors/merging
+    # (reference pRead1/pRead2, konnector.h:268-291); None = original
+    read1: str | None = None
+    read2: str | None = None
 
 
 class _BidiSearch:
@@ -563,6 +603,14 @@ class ConnectPairsParams:
     # searchMem: per-search visitor memory cap (reference sealer.cpp:203
     # default 500 MiB/thread, konnector params.memLimit at :955)
     mem_limit: int = NO_LIMIT
+    # fixErrors: retry a failed anchor after correcting one base in the
+    # read (reference konnector.h:273-291); kmer_matches_threshold is the
+    # relaxed anchor threshold used on the corrected read (:146,277)
+    fix_errors: bool = False
+    kmer_matches_threshold: int = 1
+    # preserveReads: keep the original read bytes in the merged sequence
+    # (anchors must be end-anchored; overlapping reads fail, konnector.h:337-357)
+    preserve_reads: bool = False
 
 
 def _prepare_search(dbg: DBG, read1: str, read2: str,
@@ -574,8 +622,24 @@ def _prepare_search(dbg: DBG, read1: str, read2: str,
     res = SearchResult()
     if len(read1) < k or len(read2) < k:
         return res, None
-    start_pos = get_start_kmer_pos(dbg, read1, 3)
-    goal_pos = get_start_kmer_pos(dbg, read2, 3)
+    start_pos = get_start_kmer_pos(dbg, read1, 3, params.preserve_reads)
+    goal_pos = get_start_kmer_pos(dbg, read2, 3, params.preserve_reads)
+    if start_pos == NO_MATCH and params.fix_errors:
+        ok, fixed, _ = correct_single_base_error(dbg, read1)
+        if ok:
+            read1 = fixed
+            res.read1 = read1
+            start_pos = get_start_kmer_pos(
+                dbg, read1, params.kmer_matches_threshold
+            )
+    if goal_pos == NO_MATCH and params.fix_errors:
+        ok, fixed, _ = correct_single_base_error(dbg, read2)
+        if ok:
+            read2 = fixed
+            res.read2 = read2
+            goal_pos = get_start_kmer_pos(
+                dbg, read2, params.kmer_matches_threshold
+            )
     if start_pos == NO_MATCH or goal_pos == NO_MATCH:
         return res, None
     res.found_start = res.found_goal = True
@@ -604,25 +668,46 @@ def _prepare_search(dbg: DBG, read1: str, read2: str,
 
 
 def _finish_search(dbg: DBG, res: SearchResult, search, read1: str,
-                   read2: str) -> SearchResult:
+                   read2: str,
+                   params: "ConnectPairsParams | None" = None) -> SearchResult:
     """Path enumeration + consensus (the back half of connect_pairs).
-    `search` is a completed _BidiSearch, or None for the decided cases."""
+    `search` is a completed _BidiSearch, or None for the decided cases.
+    mask_new always compares against the ORIGINAL reads; anchors/merging use
+    the (possibly fixErrors-corrected) res.read1/read2."""
     from . import nw
 
     k = dbg.k
+    r1 = res.read1 if res.read1 is not None else read1
+    r2 = res.read2 if res.read2 is not None else read2
     if search is not None:
         res.cost = search.cost
         res.num_nodes_visited = search.nodes_visited
         res.max_active_branches = search.peak_branches
         res.path_result, paths = search.paths_to_goal()
     elif res.path_result == "FOUND_PATH":
-        paths = [[read1[res.start_kmer_pos : res.start_kmer_pos + k]]]
+        paths = [[r1[res.start_kmer_pos : res.start_kmer_pos + k]]]
     if res.path_result != "FOUND_PATH":
         return res
 
-    seq_prefix = read1[: res.start_kmer_pos]
-    seq_suffix = revcomp(read2[: res.goal_kmer_pos])
     connecting = [path_to_seq(p, k) for p in paths]
+    if params is not None and params.preserve_reads:
+        # keep the original read bytes verbatim: the connecting path must
+        # extend past both reads, else the merge cannot preserve them
+        # (reference konnector.h:337-357)
+        seq_prefix = r1
+        seq_suffix = revcomp(r2)
+        trim_left = len(r1) - res.start_kmer_pos
+        trim_right = len(r2) - res.goal_kmer_pos
+        trimmed = []
+        for c in connecting:
+            if trim_left + trim_right > len(c):
+                res.path_result = "NO_PATH"
+                return res
+            trimmed.append(c[trim_left : len(c) - trim_right])
+        connecting = trimmed
+    else:
+        seq_prefix = r1[: res.start_kmer_pos]
+        seq_suffix = revcomp(r2[: res.goal_kmer_pos])
     if len(connecting) == 1:
         merged = seq_prefix + connecting[0] + seq_suffix
         merged, res.read_mismatches = mask_new(read1, read2, merged)
@@ -644,7 +729,7 @@ def connect_pairs(dbg: DBG, read1: str, read2: str, params: ConnectPairsParams) 
     res, search = _prepare_search(dbg, read1, read2, params)
     if search is not None:
         search.run()
-    return _finish_search(dbg, res, search, read1, read2)
+    return _finish_search(dbg, res, search, read1, read2, params)
 
 
 def connect_pairs_batch(dbg: DBG, pairs: list[tuple[str, str]],
@@ -670,6 +755,6 @@ def connect_pairs_batch(dbg: DBG, pairs: list[tuple[str, str]],
             prefetch(want_s, want_p)
         active = [(i, s) for i, s in active if not s.run_while_cached()]
     return [
-        _finish_search(dbg, res, s, pairs[i][0], pairs[i][1])
+        _finish_search(dbg, res, s, pairs[i][0], pairs[i][1], params)
         for i, (res, s) in enumerate(prepared)
     ]

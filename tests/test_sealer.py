@@ -239,3 +239,53 @@ def test_mem_limit_aborts_search():
     )
     res2 = konnector.connect_pairs(dbg, left, right, params2)
     assert res2.path_result != "EXCEEDED_MEM_LIMIT"
+
+
+def test_fix_errors_and_preserve_reads():
+    """fixErrors retries a failed anchor after a single-base correction
+    (reference konnector.h:273-291, DBGBloomAlgorithms.h:127-180);
+    preserveReads keeps the original read bytes in the merge
+    (konnector.h:337-357)."""
+    import numpy as np
+
+    from goldpolish_tpu.ops import bloom, nthash as nt
+
+    k, h = 16, 3
+    rng = np.random.default_rng(4)
+    truth = "".join(rng.choice(list("ACGT"), 300))
+    bf = bloom.BloomFilter(1 << 14, h, k)
+    bf.insert(nt.multi_hashes(nt.canonical_hashes(
+        np.frombuffer(truth.encode(), np.uint8), k), k, h))
+    dbg = konnector.DBG(bf, k)
+    left = truth[:28]  # short enough that one mid-read error kills EVERY window
+    right = konnector.revcomp(truth[240:])
+    bad = left[:14] + ("A" if left[14] != "A" else "C") + left[15:]
+    # sanity: the corrupted read has no anchor at all
+    assert konnector.get_start_kmer_pos(dbg, bad, 3) == konnector.NO_MATCH
+
+    params = konnector.ConnectPairsParams(
+        max_merged_seq_len=400, max_paths=2, max_branches=200,
+        max_cost=50000,
+    )
+    res_plain = konnector.connect_pairs(dbg, bad, right, params)
+    assert res_plain.path_result == "NO_PATH" and not res_plain.found_start
+
+    params_fix = konnector.ConnectPairsParams(
+        max_merged_seq_len=400, max_paths=2, max_branches=200,
+        max_cost=50000, fix_errors=True,
+    )
+    res_fix = konnector.connect_pairs(dbg, bad, right, params_fix)
+    assert res_fix.path_result == "FOUND_PATH"
+    assert res_fix.read1 == left  # the single-base fix restored the truth
+    assert res_fix.consensus.upper() == truth
+
+    # preserveReads: merged sequence contains the reads verbatim
+    params_pr = konnector.ConnectPairsParams(
+        max_merged_seq_len=400, max_paths=2, max_branches=200,
+        max_cost=50000, preserve_reads=True,
+    )
+    res_pr = konnector.connect_pairs(dbg, left, right, params_pr)
+    assert res_pr.path_result == "FOUND_PATH"
+    merged = res_pr.merged_seqs[0].upper()
+    assert merged.startswith(left) and merged.endswith(konnector.revcomp(right))
+    assert merged == truth
