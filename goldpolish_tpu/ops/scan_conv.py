@@ -179,13 +179,23 @@ class DeviceScanner:
     filter fits the MXU probe budget and we are on a real TPU); every
     `scan_packed` call is one async device computation whose result the
     caller unpacks with `unpack_present`.
+
+    Multi-device: with >1 visible device the scan SPMD-shards its rows over
+    a 1-D ("dp",) jax Mesh with the filter replicated.  Because the scan
+    pipeline (polish/scanpipe.py) packs CONTIG SEGMENTS into rows with a
+    k-1-byte halo at every boundary, row sharding subsumes both contig data
+    parallelism and sequence parallelism of long contigs — the halo
+    exchange sequence-parallel scans normally need is already materialized
+    in the packing, so devices need no collectives on the critical path
+    (stats/outputs gather once per call).
     """
 
     def __init__(self, bf, force_probe: str | None = None):
         self.bits = int(bf.bits)
         self.h = int(bf.hash_num)
-        self._words = jnp.asarray(bf.words_u32())
         self._planes = None
+        self._mesh = None
+        self.n_devices = len(jax.devices())
         probe = force_probe
         if probe is None:
             on_tpu = jax.devices()[0].platform == "tpu"
@@ -195,6 +205,18 @@ class DeviceScanner:
                 if on_tpu and pow2 and self.bits <= MXU_PROBE_MAX_BITS
                 else "gather"
             )
+        if self.n_devices > 1 and probe == "gather":
+            from jax.sharding import Mesh, NamedSharding, PartitionSpec
+
+            self._mesh = Mesh(np.array(jax.devices()), ("dp",))
+            self._row_sharding = NamedSharding(
+                self._mesh, PartitionSpec("dp", None)
+            )
+            self._words = jax.device_put(
+                bf.words_u32(), NamedSharding(self._mesh, PartitionSpec())
+            )
+        else:
+            self._words = jnp.asarray(bf.words_u32())
         if probe == "mxu":
             from . import bloom_pallas
 
@@ -203,12 +225,30 @@ class DeviceScanner:
             )
         self.probe = probe
 
+    @property
+    def preferred_rows(self) -> int:
+        """Scan-call row count the pipeline should use (>=1 per device)."""
+        return max(4, self.n_devices) if self._mesh is not None else 4
+
     def scan_packed(self, codes: np.ndarray, k: int):
         """codes u8 [B, L] (host or device) -> device u8 [B, ceil(nw/8)].
 
         Returns the un-fetched device array (async); np.asarray() it to
         materialize.
         """
+        if self._mesh is not None:
+            codes = np.asarray(codes)
+            if codes.ndim == 1:
+                codes = codes[None, :]
+            b = codes.shape[0]
+            pad = (-b) % self.n_devices
+            if pad:
+                codes = np.pad(codes, ((0, pad), (0, 0)))
+            codes = jax.device_put(codes, self._row_sharding)
+            out = scan_present_packed_gather(
+                self._words, self.bits, self.h, k, codes
+            )
+            return out[:b]
         codes = jnp.asarray(codes)
         if codes.ndim == 1:
             codes = codes[None, :]

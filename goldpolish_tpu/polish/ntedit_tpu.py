@@ -713,7 +713,8 @@ class NtEditTPU:
                 (i, np.frombuffer(s, np.uint8))
                 for i, s in enumerate(seqs) if i >= n_seed
             ]
-            pipe = ScanPipe(self._scanner, k)
+            pipe = ScanPipe(self._scanner, k,
+                            rows=self._scanner.preferred_rows)
             pieces_map: dict[int, list] = {}
             with concurrent.futures.ProcessPoolExecutor(
                 max_workers=processes,
@@ -788,7 +789,7 @@ class NtEditTPU:
             (i, np.frombuffer(s, np.uint8))
             for i, s in enumerate(seqs) if i >= n_seed
         ]
-        pipe = ScanPipe(self._scanner, k)
+        pipe = ScanPipe(self._scanner, k, rows=self._scanner.preferred_rows)
         gen = pipe.run(jobs)
         out: list = [
             self.polish_contig(seqs[i]) for i in range(n_seed)
