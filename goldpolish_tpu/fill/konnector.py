@@ -50,6 +50,14 @@ class DBG:
         self.bf = bf
         self.k = k
         self.h = bf.hash_num
+        self._ext4 = None
+        try:
+            from .. import native
+
+            native.lib()
+            self._ext4 = native.extend4
+        except Exception:  # noqa: BLE001 — pure-Python fallback below
+            pass
 
     def _probe_many(self, kmers: list[str]) -> np.ndarray:
         if not kmers:
@@ -92,6 +100,10 @@ class DBG:
             return nt.ntc64_base_i(kmer.encode(), 0, self.k)
 
     def successors(self, kmer: str) -> list[str]:
+        if self._ext4 is not None:
+            mask = self._ext4(kmer.encode(), self.h, self.bf, True)
+            prefix = kmer[1:]
+            return [prefix + b for i, b in enumerate("ACGT") if mask >> i & 1]
         # the 4 candidates share the (k-1)-prefix: seed one state, then
         # O(1) changelast rehashes instead of 4 from-scratch batch hashes
         prefix = kmer[1:]
@@ -108,6 +120,10 @@ class DBG:
         return out
 
     def predecessors(self, kmer: str) -> list[str]:
+        if self._ext4 is not None:
+            mask = self._ext4(kmer.encode(), self.h, self.bf, False)
+            suffix = kmer[:-1]
+            return [b + suffix for i, b in enumerate("ACGT") if mask >> i & 1]
         suffix = kmer[:-1]
         fh0, rh0 = self._seed_state("A" + suffix)
         k, h, bf = self.k, self.h, self.bf
@@ -490,26 +506,38 @@ class _BidiSearch:
     # -- path enumeration (visitor:buildPaths) --------------------------------
     def _all_paths(self, graph, start, goal, max_paths, max_depth, max_cost):
         """All simple-ish paths start->goal in the recorded DAG (may contain
-        cycles -> bounded by depth); returns (status, paths, cost)."""
+        cycles -> bounded by depth); returns (status, paths, cost).
+
+        Backtracking DFS with an on-path SET for the cycle guard — O(1) per
+        check instead of the naive `nxt in path` O(len) scan — while the
+        stack discipline keeps the pop order (hence path order, costs, and
+        every consumer downstream: consensus input order included) identical
+        to the list-copy formulation it replaces."""
         paths = []
         cost = 0
-        stack = [(start, [start])]
+        stack = [(start, 0)]
+        path: list = []
+        on_path: set = set()
         while stack:
             cost += 1
             if cost > max_cost:
                 return "MAX_COST_EXCEEDED", [], cost
-            node, path = stack.pop()
+            node, depth = stack.pop()
+            while len(path) > depth:  # backtrack to this branch point
+                on_path.discard(path.pop())
+            path.append(node)
+            on_path.add(node)
             if node == goal:
-                paths.append(path)
+                paths.append(list(path))
                 if max_paths != NO_LIMIT and len(paths) > max_paths:
                     return "TOO_MANY_PATHS", [], cost
                 continue
-            if len(path) - 1 >= max_depth:
+            if depth >= max_depth:
                 continue
             for nxt in graph.get(node, []):
-                if nxt in path:  # cycle guard
+                if nxt in on_path:  # cycle guard
                     continue
-                stack.append((nxt, path + [nxt]))
+                stack.append((nxt, depth + 1))
         if not paths:
             return "NO_PATH", [], cost
         return "FOUND_PATH", paths, cost

@@ -86,23 +86,25 @@ def find_flanks(record_id: str, seq: str, cfg: SealerConfig):
 
     Returns list of (left_flank_seq, right_flank_rc_seq, Gap).
     """
-    gap_chars = set(GAP_CHARS_LOWER if cfg.lower else GAP_CHARS_PLAIN)
+    import re
+
+    chars = GAP_CHARS_LOWER if cfg.lower else GAP_CHARS_PLAIN
     out = []
     n = len(seq)
+    # one regex pass over gap-char runs replaces the per-character generator
+    # scans (O(n * gaps) -> O(n)); the runs are exactly the (start, end)
+    # pairs the scalar loop found, and right_end is simply the next run's
+    # start (or n) — semantics identical to the reference's findFlanks
+    runs = [
+        (m.start(), m.end())
+        for m in re.finditer(f"[{re.escape(chars)}]+", seq)
+    ]
+    if runs and runs[-1][1] == n:
+        log.warning("sequence ends with a gap: %s", record_id)
+        runs.pop()
     offset = 0
-    while True:
-        start = next(
-            (i for i in range(offset, n) if seq[i] in gap_chars), None
-        )
-        if start is None:
-            break
-        end = next((i for i in range(start, n) if seq[i] not in gap_chars), None)
-        if end is None:
-            log.warning("sequence ends with a gap: %s", record_id)
-            break
-        right_end = next((i for i in range(end, n) if seq[i] in gap_chars), None)
-        if right_end is None:
-            right_end = n
+    for gi, (start, end) in enumerate(runs):
+        right_end = runs[gi + 1][0] if gi + 1 < len(runs) else n
         gap = Gap(
             max(offset, start - cfg.flank_length),
             start,
@@ -240,10 +242,33 @@ def seal_records(records, bfs_by_k: dict[int, object], cfg: SealerConfig,
         rid = header.split()[0] if header.split() else header
         comment = header[len(rid) + 1 :] if " " in header else ""
         if rid in all_merged:
-            s = seq
-            for pos in sorted(all_merged[rid], reverse=True):
-                gap, merged = all_merged[rid][pos]
-                s = s[: gap.left_start] + merged + s[gap.left_start + gap.total_size :]
+            positions = sorted(all_merged[rid])
+            spans = [
+                (g.left_start, g.left_start + g.total_size)
+                for g in (all_merged[rid][p][0] for p in positions)
+            ]
+            if all(spans[i][1] <= spans[i + 1][0] for i in range(len(spans) - 1)):
+                # disjoint replacement spans: the right-to-left splice is
+                # equivalent to one segment join — O(n) instead of
+                # O(n * gaps) string copying
+                parts = []
+                prev = 0
+                for p, (a, b) in zip(positions, spans):
+                    parts.append(seq[prev:a])
+                    parts.append(all_merged[rid][p][1])
+                    prev = b
+                parts.append(seq[prev:])
+                s = "".join(parts)
+            else:
+                # overlapping flank spans (gaps < 2*flank apart): keep the
+                # reference's exact right-to-left splice semantics
+                s = seq
+                for pos in reversed(positions):
+                    gap, merged = all_merged[rid][pos]
+                    s = (
+                        s[: gap.left_start] + merged
+                        + s[gap.left_start + gap.total_size :]
+                    )
             out.append((f"{rid} {comment}", s))
         else:
             out.append((f"{rid} {comment}", seq))

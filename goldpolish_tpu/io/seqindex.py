@@ -118,7 +118,13 @@ class SeqIndex:
         # (threads sharing this handle, or fork-pool children sharing the
         # file description and therefore its offset) cannot interleave a
         # seek with another worker's read.
-        return os.pread(self._fh.fileno(), length, start)
+        try:
+            return os.pread(self._fh.fileno(), length, start)
+        except OSError:
+            # a stale handle (e.g. inherited across an exec/fork boundary
+            # that closed it) is recoverable: reopen once and retry
+            self._fh = open(self.seqs_filepath, "rb")
+            return os.pread(self._fh.fileno(), length, start)
 
     def get_seq_len(self, rid: str) -> int:
         return self._records[rid][1]

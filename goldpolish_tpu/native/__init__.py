@@ -174,6 +174,24 @@ def bf_contains(bf, hashes: np.ndarray) -> np.ndarray:
     return out.astype(bool)
 
 
+def extend4(kmer: bytes, hash_num: int, bf, forward: bool) -> int:
+    """4-bit presence mask of the A/C/G/T de Bruijn extensions of kmer
+    (gp_extend4): one C call replacing the BFS's per-vertex Python seed +
+    changelast rehashes + tuple probes."""
+    L = lib()
+    if not hasattr(L, "gp_extend4_configured"):
+        L.gp_extend4.argtypes = [
+            ctypes.c_char_p, ctypes.c_uint32, ctypes.c_uint32,
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_uint64, ctypes.c_int32,
+        ]
+        L.gp_extend4.restype = ctypes.c_int32
+        L.gp_extend4_configured = True
+    return L.gp_extend4(
+        kmer, len(kmer), hash_num, _u8ptr(bf.array), bf.bytes,
+        1 if forward else 0,
+    )
+
+
 def sketch(seq_codes: np.ndarray, k: int, w: int):
     """(positions, hashes) minimizer sketch in one native call (all-window
     canonical hashing + cover-max selection; see mapper.minimizer_sketch)."""

@@ -289,3 +289,34 @@ def test_fix_errors_and_preserve_reads():
     merged = res_pr.merged_seqs[0].upper()
     assert merged.startswith(left) and merged.endswith(konnector.revcomp(right))
     assert merged == truth
+
+
+def test_native_extend4_matches_python():
+    """gp_extend4 (native 4-way DBG extension probe) matches the pure-Python
+    changelast/changefirst expansion bit-for-bit."""
+    import numpy as np
+
+    from goldpolish_tpu.ops import bloom, nthash as nt
+
+    try:
+        from goldpolish_tpu import native
+
+        native.lib()
+    except Exception:
+        import pytest as _pytest
+
+        _pytest.skip("native lib unavailable")
+    rng = np.random.default_rng(12)
+    for k in (16, 32, 47):
+        truth = "".join(rng.choice(list("ACGT"), 2000))
+        bf = bloom.BloomFilter(1 << 14, 3, k)
+        bf.insert(nt.multi_hashes(nt.canonical_hashes(
+            np.frombuffer(truth.encode(), np.uint8), k), k, 3))
+        dbg = konnector.DBG(bf, k)
+        assert dbg._ext4 is not None
+        dbg_py = konnector.DBG(bf, k)
+        dbg_py._ext4 = None
+        for s in range(0, 1500, 97):
+            kmer = truth[s : s + k]
+            assert dbg.successors(kmer) == dbg_py.successors(kmer)
+            assert dbg.predecessors(kmer) == dbg_py.predecessors(kmer)
