@@ -186,21 +186,22 @@ class BFBuilder:
         the threshold may join).  Use on co-located chips where fill
         bandwidth beats the host; the host path stays the exactness
         anchor.  Reads are hashed in padded [B, L] buckets of at most
-        chunk_elems window-hash elements per pass.  When targets in a
-        batch have different adaptive thresholds (rare: thresholds vary
-        with mapped-bases, which the batch shares a regime of), the batch
-        MINIMUM applies — also superset-consistent.
+        chunk_elems window-hash elements per pass.  Each read promotes
+        with ITS TARGET's adaptive threshold (reads grouped by threshold;
+        one promotion sweep per distinct value — usually one), matching
+        the host fill's per-target semantics.  Hashing uses the MXU conv
+        formulation (ops/scan_conv).
         """
         import jax
         import jax.numpy as jnp
 
-        from .ops import bloom_jax, nthash_jax
+        from .ops import bloom_jax, nthash_jax, scan_conv
 
         h = self.hash_num
         cbf_size = self.cbf_bytes  # one int32 counter per reference counter
 
         def count_chunk(counters, codes, lens, k: int):
-            base = nthash_jax.canonical_hashes(codes, k)  # [B, nw]
+            base = scan_conv.canonical_hashes_conv(codes, k)  # [B, nw]
             hashes = nthash_jax.multi_hashes(base, k, h)  # [B, nw, h]
             nw = base.shape[-1]
             valid = jnp.arange(nw)[None, :] <= (lens[:, None] - k)
@@ -210,7 +211,7 @@ class BFBuilder:
 
         def promote_chunk(words, counters, codes, lens, k: int, thresh: int,
                           bits: int):
-            base = nthash_jax.canonical_hashes(codes, k)
+            base = scan_conv.canonical_hashes_conv(codes, k)
             hashes = nthash_jax.multi_hashes(base, k, h)
             nw = base.shape[-1]
             valid = jnp.arange(nw)[None, :] <= (lens[:, None] - k)
@@ -227,45 +228,49 @@ class BFBuilder:
         bf_bytes = self._batch_bf_bytes(target_ids)
         bits = bf_bytes * 8
 
-        # chosen reads + per-target thresholds (shared _choose_reads logic);
-        # the batch-min threshold applies (see docstring)
-        chosen_reads: list[bytes] = []
-        thresholds: list[int] = []
+        # chosen reads grouped by their target's adaptive threshold
+        # (shared _choose_reads logic — read sets cannot desynchronize)
+        by_thresh: dict[int, list[bytes]] = {}
         for _tid, chosen, kmer_threshold in self._choose_reads(target_ids):
-            thresholds.append(kmer_threshold)
-            chosen_reads.extend(self.mapped_index.get_seq(r) for r in chosen)
+            by_thresh.setdefault(kmer_threshold, []).extend(
+                self.mapped_index.get_seq(r) for r in chosen
+            )
 
-        # pad + upload once (sorted by length so buckets pad to their own
-        # max, not the global one); reused across both passes and every k
-        chosen_reads.sort(key=len)
-        chunks: list[tuple] = []
-        i = 0
-        while i < len(chosen_reads):
-            L = max(64, 1 << (len(chosen_reads[i]) - 1).bit_length())
-            B = max(1, chunk_elems // (L * h))
-            # length-sorted: the first longer-than-L read starts the next bucket
-            j = i
-            grp = []
-            while j < len(chosen_reads) and len(grp) < B and len(chosen_reads[j]) <= L:
-                grp.append(chosen_reads[j])
-                j += 1
-            codes = np.zeros((len(grp), L), np.uint8)
-            lens = np.zeros(len(grp), np.int32)
-            for r, s in enumerate(grp):
-                codes[r, : len(s)] = np.frombuffer(s, np.uint8)
-                lens[r] = len(s)
-            chunks.append((jnp.asarray(codes), jnp.asarray(lens)))
-            i = j
+        def make_chunks(reads: list[bytes]) -> list[tuple]:
+            # pad + upload once (sorted by length so buckets pad to their
+            # own max, not the global one); reused by both passes, every k
+            reads = sorted(reads, key=len)
+            out: list[tuple] = []
+            i = 0
+            while i < len(reads):
+                L = max(64, 1 << (len(reads[i]) - 1).bit_length())
+                B = max(1, chunk_elems // (L * h))
+                j = i
+                grp = []
+                while j < len(reads) and len(grp) < B and len(reads[j]) <= L:
+                    grp.append(reads[j])
+                    j += 1
+                codes = np.zeros((len(grp), L), np.uint8)
+                lens = np.zeros(len(grp), np.int32)
+                for r, rd in enumerate(grp):
+                    codes[r, : len(rd)] = np.frombuffer(rd, np.uint8)
+                    lens[r] = len(rd)
+                out.append((jnp.asarray(codes), jnp.asarray(lens)))
+                i = j
+            return out
 
-        base_thresh = min(thresholds) if thresholds else 0
+        groups = [
+            (thr, make_chunks(reads)) for thr, reads in sorted(by_thresh.items())
+        ]
         bfs = []
         for ki, k in enumerate(self.k_values):
             counters = jnp.zeros(cbf_size, jnp.int32)
-            for codes, lens in chunks:
-                counters = count_jit(counters, codes, lens, k)
+            for _thr, chunks in groups:
+                for codes, lens in chunks:
+                    counters = count_jit(counters, codes, lens, k)
             words = jnp.zeros(bits // 32, jnp.uint32)
-            if base_thresh:
-                eff = base_thresh - 2 + ki
+            for thr, chunks in groups:
+                eff = thr - 2 + ki
                 for codes, lens in chunks:
                     words = promote_jit(words, counters, codes, lens, k, eff, bits)
             bf = bloom.BloomFilter(bf_bytes, h, k)
