@@ -36,14 +36,32 @@ log = get_logger("bulk")
 
 
 def build_indexes(cfg: PipelineConfig, workspace: str):
-    """Build (or load cached) SeqIndexes (reference goldpolish-make:50-51)."""
+    """Build (or load cached) SeqIndexes (reference goldpolish-make:50-51).
+
+    The TSV cache lives NEXT TO the input (`<input>.index`, the reference's
+    `%.index` make target) so it survives the run and a rerun/resume skips
+    the linear scan; an unwritable input directory falls back to the
+    run-scoped workspace."""
 
     def index_for(path: str) -> seqindex.SeqIndex:
-        cache = os.path.join(workspace, os.path.basename(path) + ".index")
-        if os.path.exists(cache) and os.path.getmtime(cache) >= os.path.getmtime(path):
-            return seqindex.SeqIndex.load(cache, path)
+        for cache in (
+            path + ".index",
+            os.path.join(workspace, os.path.basename(path) + ".index"),
+        ):
+            if os.path.exists(cache) and (
+                os.path.getmtime(cache) >= os.path.getmtime(path)
+            ):
+                return seqindex.SeqIndex.load(cache, path)
         idx = seqindex.SeqIndex.build(path)
-        idx.save(cache)
+        for cache in (
+            path + ".index",
+            os.path.join(workspace, os.path.basename(path) + ".index"),
+        ):
+            try:
+                idx.save(cache)
+                break
+            except OSError:
+                continue
         return idx
 
     return index_for(cfg.seqs_to_polish), index_for(cfg.polishing_seqs)
@@ -57,9 +75,25 @@ def resolve_mappings(cfg: PipelineConfig, target_index,
     external mapper when on PATH (the reference shells out to
     ntLink/minimap2, scripts/goldpolish:204-295); else the framework's own
     minimizer mapper (self-contained, ntLink-TSV-compatible output so the
-    adaptive filter applies unchanged)."""
+    adaptive filter applies unchanged).
+
+    Mapping artifacts land in the CWD (like the reference's make targets)
+    and are REUSED when newer than both inputs — the make DAG's timestamp
+    resumability (goldpolish-make:45 .SECONDARY), restored here for every
+    mapper path."""
     import shutil
     import subprocess
+
+    def fresh(artifact: str) -> bool:
+        if not os.path.exists(artifact):
+            return False
+        m = os.path.getmtime(artifact)
+        if m < os.path.getmtime(cfg.seqs_to_polish) or m < os.path.getmtime(
+            cfg.polishing_seqs
+        ):
+            return False
+        log.info("reusing up-to-date mappings %s", artifact)
+        return True
 
     path = cfg.mappings_path
     if not path and cfg.mapper == "minimap2" and shutil.which("minimap2"):
@@ -67,23 +101,25 @@ def resolve_mappings(cfg: PipelineConfig, target_index,
             f"{os.path.basename(cfg.seqs_to_polish)}."
             f"{os.path.basename(cfg.polishing_seqs)}.paf"
         )
-        with open(path, "w") as out:
-            subprocess.run(
-                ["minimap2", f"-t{cfg.threads}", cfg.seqs_to_polish,
-                 cfg.polishing_seqs],
-                stdout=out, check=True,
-            )
+        if not fresh(path):
+            with open(path, "w") as out:
+                subprocess.run(
+                    ["minimap2", f"-t{cfg.threads}", cfg.seqs_to_polish,
+                     cfg.polishing_seqs],
+                    stdout=out, check=True,
+                )
     elif not path and cfg.mapper == "ntlink" and shutil.which("ntLink"):
-        subprocess.run(
-            ["ntLink", f"t={cfg.threads}", f"target={cfg.seqs_to_polish}",
-             f"reads={cfg.polishing_seqs}", "pair", "verbose=True",
-             f"k={cfg.k_ntlink}", f"w={cfg.w_ntlink}", "sensitive=True"],
-            check=True,
-        )
         path = (
             f"{os.path.basename(cfg.seqs_to_polish)}"
             f".k{cfg.k_ntlink}.w{cfg.w_ntlink}.z1000.mapping.tsv"
         )
+        if not fresh(path):
+            subprocess.run(
+                ["ntLink", f"t={cfg.threads}", f"target={cfg.seqs_to_polish}",
+                 f"reads={cfg.polishing_seqs}", "pair", "verbose=True",
+                 f"k={cfg.k_ntlink}", f"w={cfg.w_ntlink}", "sensitive=True"],
+                check=True,
+            )
     elif not path:
         from .. import mapper as internal_mapper
 
@@ -92,13 +128,16 @@ def resolve_mappings(cfg: PipelineConfig, target_index,
                 "mapper '%s' not on PATH; using the internal minimizer mapper",
                 cfg.mapper,
             )
-        path = os.path.join(
-            workdir,
-            f"{os.path.basename(cfg.seqs_to_polish)}.internal.mapping.tsv",
+        path = (
+            f"{os.path.basename(cfg.seqs_to_polish)}"
+            f".{os.path.basename(cfg.polishing_seqs)}.internal.mapping.tsv"
         )
-        internal_mapper.write_mapping_tsv(
-            cfg.seqs_to_polish, cfg.polishing_seqs, path
-        )
+        if not fresh(path):
+            tmp = os.path.join(workdir, "mapping.tsv.tmp")
+            internal_mapper.write_mapping_tsv(
+                cfg.seqs_to_polish, cfg.polishing_seqs, tmp
+            )
+            os.replace(tmp, path)
     return AllMappings.load(
         path, target_index,
         mx_max_mapped_seqs_per_target_10kbp=cfg.mx_max_reads_per_10kbp,

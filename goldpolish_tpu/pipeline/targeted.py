@@ -271,7 +271,14 @@ def run_targeted(cfg: PipelineConfig) -> dict:
         # goldpolish-target.py INTERMEDIATE_* cleanup), on every exit path
         # including the zero-gap early return and errors
         if not cfg.target_dev:
-            for p in (gaps_fa, remapped_paf, polished_gaps):
+            for p in (
+                gaps_fa, remapped_paf, polished_gaps,
+                # derived caches of the intermediates (next-to-input
+                # SeqIndex TSVs, internal mapper artifacts)
+                gaps_fa + ".index",
+                f"{os.path.basename(gaps_fa)}."
+                f"{os.path.basename(cfg.polishing_seqs)}.internal.mapping.tsv",
+            ):
                 try:
                     os.remove(p)
                 except OSError:

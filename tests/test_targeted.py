@@ -180,7 +180,7 @@ def test_target_dev_keeps_intermediates(tmp_path):
                     f"r{rn}\t{e-s}\t0\t{e-s}\t+\tc1\t3000\t{s}\t{e}\t{e-s}\t{e-s}\t60\n"
                 )
                 rn += 1
-    for dev, expect in ((False, 0), (True, 3)):
+    for dev in (False, True):
         out = str(tmp_path / f"out{int(dev)}.fa")
         cfg = PipelineConfig(
             seqs_to_polish=draft_path, polishing_seqs=reads_path,
@@ -190,6 +190,16 @@ def test_target_dev_keeps_intermediates(tmp_path):
         )
         targeted.run_targeted(cfg)
         work = glob.glob(str(tmp_path / "GoldPolish-Target_work*"))
-        assert len(work) == expect, (dev, work)
+        if not dev:
+            assert work == [], work
+        else:
+            # the three reference intermediates survive (derived caches
+            # like the gaps SeqIndex may accompany them)
+            names = {os.path.basename(p) for p in work}
+            assert {
+                "GoldPolish-Target_work.gaps.fa",
+                "GoldPolish-Target_work.gaps.paf",
+                "GoldPolish-Target_work.gaps.goldpolished.fa",
+            } <= names, (dev, work)
         for p in work:
             os.remove(p)
