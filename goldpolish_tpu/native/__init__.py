@@ -174,6 +174,37 @@ def bf_contains(bf, hashes: np.ndarray) -> np.ndarray:
     return out.astype(bool)
 
 
+def pack2(codes: np.ndarray, exc_cap: int = 64):
+    """2-bit pack a byte sequence for the device-scan transfer (gp_pack2).
+
+    Returns (packed u8[ceil(n/4)], exc_pos i64[m], exc_byte u8[m]) or None
+    when the sequence holds more than exc_cap non-ACGT bytes (caller sends
+    raw bytes instead)."""
+    L = lib()
+    if not hasattr(L, "gp_pack2_configured"):
+        L.gp_pack2.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_int64,
+        ]
+        L.gp_pack2.restype = ctypes.c_int64
+        L.gp_pack2_configured = True
+    codes = np.ascontiguousarray(codes, np.uint8)
+    n = len(codes)
+    packed = np.zeros((n + 3) // 4, np.uint8)
+    exc_pos = np.zeros(exc_cap, np.int64)
+    exc_byte = np.zeros(exc_cap, np.uint8)
+    m = L.gp_pack2(
+        _u8ptr(codes), n, _u8ptr(packed),
+        exc_pos.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        _u8ptr(exc_byte), exc_cap,
+    )
+    if m < 0:
+        return None
+    return packed, exc_pos[:m], exc_byte[:m]
+
+
 def extend4(kmer: bytes, hash_num: int, bf, forward: bool) -> int:
     """4-bit presence mask of the A/C/G/T de Bruijn extensions of kmer
     (gp_extend4): one C call replacing the BFS's per-vertex Python seed +

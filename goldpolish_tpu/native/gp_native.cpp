@@ -1865,6 +1865,41 @@ int gp_polish_contig(
   return w.recs_overflow ? 1 : 0;
 }
 
+// 2-bit sequence packing for the device-scan transfer: ACGT/acgt pack to
+// classes 0..3 (hashing only distinguishes those four classes plus "other",
+// ops/nthash.py seed tables); every other byte is recorded as an exception
+// (position + raw byte) that the device scatters back into its one-hot
+// channels.  Returns the exception count, or -1 if it exceeds exc_cap
+// (caller falls back to the raw-byte transfer).  packed must arrive zeroed
+// with capacity ceil(n/4).
+int64_t gp_pack2(const uint8_t* seq, int64_t n, uint8_t* packed,
+                 int64_t* exc_pos, uint8_t* exc_byte, int64_t exc_cap) {
+  static uint8_t cls_tab[256];
+  static bool init = false;
+  if (!init) {
+    std::memset(cls_tab, 255, sizeof(cls_tab));
+    const char* b = "ACGT";
+    for (int i = 0; i < 4; i++) {
+      cls_tab[(uint8_t)b[i]] = (uint8_t)i;
+      cls_tab[(uint8_t)(b[i] + 32)] = (uint8_t)i;
+    }
+    init = true;
+  }
+  int64_t m = 0;
+  for (int64_t i = 0; i < n; i++) {
+    uint8_t cls = cls_tab[seq[i]];
+    if (cls == 255) {
+      if (m >= exc_cap) return -1;
+      exc_pos[m] = i;
+      exc_byte[m] = seq[i];
+      m++;
+      cls = 0;
+    }
+    packed[i >> 2] = (uint8_t)(packed[i >> 2] | (cls << ((i & 3) * 2)));
+  }
+  return m;
+}
+
 // de Bruijn 4-way extension probe (the gap-filler BFS's hot operation,
 // reference Konnector/DBGBloom.h:107-150 adjacency): returns a 4-bit mask
 // of which of A/C/G/T extensions of `kmer` probe present in the BF.

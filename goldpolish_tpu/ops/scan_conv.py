@@ -80,6 +80,13 @@ def _conv_weights(k: int) -> np.ndarray:
 _POW16 = (1 << np.arange(16, dtype=np.int64)).astype(np.float32)
 
 
+def _onehot12_from_classes(clsf: jnp.ndarray, clsr: jnp.ndarray) -> jnp.ndarray:
+    """forward class (0..3 ACGT, 4 other) + rc class (c & 7) -> [..., 12]."""
+    oh_f = (clsf[..., None] == jnp.arange(4, dtype=jnp.int32)).astype(jnp.bfloat16)
+    oh_r = (clsr[..., None] == jnp.arange(8, dtype=jnp.int32)).astype(jnp.bfloat16)
+    return jnp.concatenate([oh_f, oh_r], axis=-1)
+
+
 def _onehot12(codes: jnp.ndarray) -> jnp.ndarray:
     """uint8 codes [..., L] -> one-hot [..., L, 12] bf16 (see _conv_weights)."""
     lo = codes | jnp.uint8(32)  # case fold; non-letters stay non-acgt
@@ -87,9 +94,39 @@ def _onehot12(codes: jnp.ndarray) -> jnp.ndarray:
     for i, ch in enumerate(b"acgt"):
         clsf = jnp.where(lo == ch, i, clsf)
     clsr = (codes & jnp.uint8(7)).astype(jnp.int32)
-    oh_f = (clsf[..., None] == jnp.arange(4, dtype=jnp.int32)).astype(jnp.bfloat16)
-    oh_r = (clsr[..., None] == jnp.arange(8, dtype=jnp.int32)).astype(jnp.bfloat16)
-    return jnp.concatenate([oh_f, oh_r], axis=-1)
+    return _onehot12_from_classes(clsf, clsr)
+
+
+# rc class (c & 7) of the four packed ACGT classes: 'A'&7, 'C'&7, 'G'&7, 'T'&7
+_RC_OF_CLASS = np.array([1, 3, 7, 4], np.int32)
+
+
+def _classes_from_packed(packed: jnp.ndarray, L: int, exc_idx, exc_byte):
+    """2-bit packed [B, ceil(L/4)] (+ sparse exceptions) -> (clsf, clsr).
+
+    Exception entries carry the RAW byte of any non-ACGT position (their
+    forward class becomes 4/"other" and their rc class the byte's c&7 —
+    exactly what the seed tables read); padding entries use idx >= L and
+    are dropped by the scatter."""
+    b_dim = packed.shape[0]
+    shifts = jnp.arange(4, dtype=jnp.uint8) * 2
+    cls = ((packed[..., None] >> shifts) & jnp.uint8(3)).astype(jnp.int32)
+    cls = cls.reshape(b_dim, -1)[:, :L]
+    clsf = cls
+    clsr = jnp.asarray(_RC_OF_CLASS)[cls]
+    if exc_idx is not None and exc_idx.shape[-1]:
+        rows = jnp.broadcast_to(
+            jnp.arange(b_dim, dtype=jnp.int32)[:, None], exc_idx.shape
+        ).reshape(-1)
+        flat_idx = rows * L + jnp.minimum(
+            exc_idx.astype(jnp.int32), L
+        ).reshape(-1)
+        oob = (exc_idx >= L).reshape(-1)
+        flat_idx = jnp.where(oob, b_dim * L, flat_idx)
+        clsf = clsf.reshape(-1).at[flat_idx].set(4, mode="drop").reshape(b_dim, L)
+        rc = (exc_byte & jnp.uint8(7)).astype(jnp.int32).reshape(-1)
+        clsr = clsr.reshape(-1).at[flat_idx].set(rc, mode="drop").reshape(b_dim, L)
+    return clsf, clsr
 
 
 def _bits_to_u64(bits: jnp.ndarray) -> jnp.ndarray:
@@ -101,9 +138,7 @@ def _bits_to_u64(bits: jnp.ndarray) -> jnp.ndarray:
     return lo.astype(jnp.uint64) | (hi.astype(jnp.uint64) << jnp.uint64(32))
 
 
-def strand_hashes_conv(codes: jnp.ndarray, k: int):
-    """(fh, rh) u64 arrays of every k-window via the MXU conv; codes [B, L]."""
-    x = _onehot12(codes)
+def _strand_hashes_from_onehot(x: jnp.ndarray, k: int):
     w = jnp.asarray(_conv_weights(k), jnp.bfloat16)
     out = jax.lax.conv_general_dilated(
         x, w, window_strides=(1,), padding="VALID",
@@ -112,6 +147,11 @@ def strand_hashes_conv(codes: jnp.ndarray, k: int):
     )  # [B, nw, 128] exact integer counts <= k
     bits = out.astype(jnp.int32) & 1
     return _bits_to_u64(bits[..., :64]), _bits_to_u64(bits[..., 64:])
+
+
+def strand_hashes_conv(codes: jnp.ndarray, k: int):
+    """(fh, rh) u64 arrays of every k-window via the MXU conv; codes [B, L]."""
+    return _strand_hashes_from_onehot(_onehot12(codes), k)
 
 
 def canonical_hashes_conv(codes: jnp.ndarray, k: int) -> jnp.ndarray:
@@ -158,6 +198,27 @@ def scan_present_packed_gather(words, bits: int, h: int, k: int, codes):
     return _pack_bits(pres)
 
 
+@functools.partial(jax.jit, static_argnums=(1, 2, 3, 4))
+def scan_present_packed2_gather(words, bits: int, h: int, k: int, L: int,
+                                packed, exc_idx, exc_byte):
+    """Fused scan over a 2-BIT PACKED transfer (1/4 the wire bytes of the
+    raw path — the tunneled-chip h2d link is the scan's scarcest resource):
+    packed u8 [B, ceil(L/4)] + sparse non-ACGT exceptions ->
+    packed presence u8 [B, ceil((L-k+1)/8)].  Bit-exact with the raw scan
+    for the full byte alphabet (the exceptions carry the raw bytes)."""
+    clsf, clsr = _classes_from_packed(packed, L, exc_idx, exc_byte)
+    fh, rh = _strand_hashes_from_onehot(_onehot12_from_classes(clsf, clsr), k)
+    base = fh + rh
+    lo = _multi_lo32(base, k, h)
+    if bits & (bits - 1) == 0:
+        idx = lo & jnp.uint32(bits - 1)
+    else:
+        idx = lo % jnp.uint32(bits)
+    word = words[(idx >> jnp.uint32(5)).astype(jnp.int32)]
+    pres = ((word >> (idx & jnp.uint32(31))) & jnp.uint32(1) != 0).all(axis=-1)
+    return _pack_bits(pres)
+
+
 @functools.partial(jax.jit, static_argnums=(1, 2, 3))
 def scan_present_packed_mxu(planes_i8, bits: int, h: int, k: int, codes):
     """Fused scan, int8 MXU one-hot probe (bits <= MXU_PROBE_MAX_BITS)."""
@@ -165,6 +226,22 @@ def scan_present_packed_mxu(planes_i8, bits: int, h: int, k: int, codes):
 
     base = canonical_hashes_conv(codes, k)
     lo = _multi_lo32(base, k, h)
+    b_dim, nw = lo.shape[0], lo.shape[1]
+    pres = bloom_pallas.probe_lo32_mxu_i8(
+        planes_i8, bits, lo.reshape(-1, h)
+    ).reshape(b_dim, nw)
+    return _pack_bits(pres)
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2, 3, 4))
+def scan_present_packed2_mxu(planes_i8, bits: int, h: int, k: int, L: int,
+                             packed, exc_idx, exc_byte):
+    """2-bit-packed-transfer scan with the int8 MXU one-hot probe."""
+    from . import bloom_pallas
+
+    clsf, clsr = _classes_from_packed(packed, L, exc_idx, exc_byte)
+    fh, rh = _strand_hashes_from_onehot(_onehot12_from_classes(clsf, clsr), k)
+    lo = _multi_lo32(fh + rh, k, h)
     b_dim, nw = lo.shape[0], lo.shape[1]
     pres = bloom_pallas.probe_lo32_mxu_i8(
         planes_i8, bits, lo.reshape(-1, h)
@@ -258,6 +335,38 @@ class DeviceScanner:
             )
         return scan_present_packed_gather(
             self._words, self.bits, self.h, k, codes
+        )
+
+    def scan_packed2(self, packed: np.ndarray, exc_idx: np.ndarray,
+                     exc_byte: np.ndarray, k: int, L: int):
+        """2-bit-packed-transfer variant of scan_packed: packed u8
+        [B, ceil(L4/4)] + per-row exception arrays (idx >= L entries are
+        padding).  1/4 the h2d bytes of the raw path."""
+        if self._mesh is not None:
+            b = packed.shape[0]
+            pad = (-b) % self.n_devices
+            if pad:
+                packed = np.pad(packed, ((0, pad), (0, 0)))
+                exc_idx = np.pad(
+                    exc_idx, ((0, pad), (0, 0)), constant_values=L
+                )
+                exc_byte = np.pad(exc_byte, ((0, pad), (0, 0)))
+            args = (
+                jax.device_put(packed, self._row_sharding),
+                jax.device_put(exc_idx, self._row_sharding),
+                jax.device_put(exc_byte, self._row_sharding),
+            )
+            out = scan_present_packed2_gather(
+                self._words, self.bits, self.h, k, L, *args
+            )
+            return out[:b]
+        args = (jnp.asarray(packed), jnp.asarray(exc_idx), jnp.asarray(exc_byte))
+        if self._planes is not None:
+            return scan_present_packed2_mxu(
+                self._planes, self.bits, self.h, k, L, *args
+            )
+        return scan_present_packed2_gather(
+            self._words, self.bits, self.h, k, L, *args
         )
 
     @staticmethod

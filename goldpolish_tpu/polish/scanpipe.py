@@ -60,6 +60,8 @@ class ScanPipe:
     the device in the background.
     """
 
+    EXC_BUCKET = 256  # per-row non-ACGT exception slots in the packed path
+
     def __init__(self, scanner, k: int, row_windows: int = ROW_WINDOWS,
                  rows: int = ROWS, depth: int = DEPTH):
         self.scanner = scanner
@@ -68,6 +70,16 @@ class ScanPipe:
         self.rows = int(rows)
         self.depth = max(1, int(depth))
         self.row_bytes = self.row_windows + k - 1
+        # 2-bit packed transfer (1/4 the wire bytes) when the native packer
+        # is available; calls with exception-dense rows fall back to raw
+        self._pack2 = None
+        try:
+            from .. import native
+
+            native.lib()
+            self._pack2 = native.pack2
+        except Exception:  # noqa: BLE001
+            pass
         # observability for adaptive placement: how often the consumer had
         # to wait on the device vs found the result already materialized
         self.waits = 0
@@ -104,13 +116,35 @@ class ScanPipe:
         return [c for c in calls if c.segs]
 
     def _dispatch(self, jobs, call: _Call, call_idx: int):
-        buf = np.zeros((self._call_rows(call_idx), self.row_bytes), np.uint8)
+        rows = self._call_rows(call_idx)
+        # pad with 'A' (not 0): padding windows are sliced off by the
+        # segment map either way, but the 2-bit packer would book every
+        # zero byte as a non-ACGT exception
+        buf = np.full((rows, self.row_bytes), ord("A"), np.uint8)
         for s in call.segs:
             codes = jobs[s.job][1]
             buf[s.row, s.off : s.off + s.nw + self.k - 1] = codes[
                 s.w0 : s.w0 + s.nw + self.k - 1
             ]
         self.calls += 1
+        if self._pack2 is not None:
+            p4 = -(-self.row_bytes // 4)
+            packed = np.zeros((rows, p4), np.uint8)
+            exc_idx = np.full((rows, self.EXC_BUCKET), self.row_bytes, np.int64)
+            exc_byte = np.zeros((rows, self.EXC_BUCKET), np.uint8)
+            ok = True
+            for r in range(rows):
+                res = self._pack2(buf[r], self.EXC_BUCKET)
+                if res is None:  # exception-dense row: raw transfer instead
+                    ok = False
+                    break
+                packed[r], pos, byt = res[0], res[1], res[2]
+                exc_idx[r, : len(pos)] = pos
+                exc_byte[r, : len(byt)] = byt
+            if ok:
+                return self.scanner.scan_packed2(
+                    packed, exc_idx, exc_byte, self.k, self.row_bytes
+                )
         return self.scanner.scan_packed(buf, self.k)
 
     # -- execution --------------------------------------------------------

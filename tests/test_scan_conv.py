@@ -123,3 +123,60 @@ def test_pipelined_polish_many_matches_numpy():
         assert [o for o, _r, _e in got_pool] == want
     finally:
         os.environ.pop("GPTPU_FORCE_DEVICE_SCAN", None)
+
+
+def test_packed2_scan_parity_full_alphabet():
+    """The 2-bit packed-transfer scan (gp_pack2 + exception scatter) is
+    bit-identical to the raw scan for sequences with lowercase, IUPAC and N
+    bytes, in both probe modes."""
+    from goldpolish_tpu import native
+
+    try:
+        native.lib()
+    except Exception:
+        pytest.skip("native lib unavailable")
+    k, h = 32, 4
+    rng = np.random.default_rng(31)
+    codes = _rand_codes(3000, seed=31).copy()
+    # sprinkle exceptions: lowercase (packable), N/IUPAC (exceptions)
+    for p in range(100, 2800, 173):
+        codes[p] = ord("NnYRWSkm"[p % 8])
+    for p in range(150, 2800, 311):
+        codes[p] = ord("acgt"[p % 4])
+    bf, want = _bf_with(codes, k, h)
+    res = native.pack2(codes, 64)
+    assert res is not None
+    packed, pos, byt = res
+    E = 64
+    exc_idx = np.full((1, E), len(codes), np.int64)
+    exc_byte = np.zeros((1, E), np.uint8)
+    exc_idx[0, : len(pos)] = pos
+    exc_byte[0, : len(byt)] = byt
+    scanner = sc.DeviceScanner(bf, force_probe="gather")
+    out = np.asarray(scanner.scan_packed2(
+        packed[None], exc_idx, exc_byte, k, len(codes)
+    ))
+    pres = scanner.unpack_present(out[0], len(codes) - k + 1)
+    assert np.array_equal(pres, want)
+    # overflow: > cap exceptions returns None (caller falls back to raw)
+    noisy = np.full(1000, ord("N"), np.uint8)
+    assert native.pack2(noisy, 64) is None
+
+
+def test_scanpipe_packed_transfer_matches_raw():
+    """ScanPipe with the packed transfer stitches identically to raw."""
+    from goldpolish_tpu.polish.scanpipe import ScanPipe
+
+    k, h = 32, 3
+    codes = _rand_codes(4000, seed=13).copy()
+    codes[500] = ord("N")
+    codes[1500] = ord("y")
+    bf, want = _bf_with(codes, k, h)
+    scanner = sc.DeviceScanner(bf, force_probe="gather")
+    pipe = ScanPipe(scanner, k, row_windows=900, rows=2)
+    got = dict(pipe.run([(0, codes)]))
+    assert np.array_equal(got[0], want)
+    pipe_raw = ScanPipe(scanner, k, row_windows=900, rows=2)
+    pipe_raw._pack2 = None
+    got_raw = dict(pipe_raw.run([(0, codes)]))
+    assert np.array_equal(got_raw[0], want)
