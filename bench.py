@@ -125,8 +125,8 @@ def build_scenario(n_bases: int, n_contigs: int, seed: int = 0):
     return truths, drafts, batch_bfs, n_err, bf_build_s, read_bases
 
 
-def _timed_chain(engines, drafts, procs, reps=3):
-    """Time the multi-k editing chain (each k's output feeds the next —
+def _chain_fn(engines, drafts, procs):
+    """One multi-k editing chain pass (each k's output feeds the next —
     reference scripts/goldpolish-ntedit:20-29)."""
 
     def chain():
@@ -140,6 +140,11 @@ def _timed_chain(engines, drafts, procs, reps=3):
             stats[2] += sum(e.n_dels for _o, _r, e in results)
         return cur, stats
 
+    return chain
+
+
+def _timed_chain(engines, drafts, procs, reps=3):
+    chain = _chain_fn(engines, drafts, procs)
     chain()  # warmup (compiles, pools)
     dt = float("inf")
     out = None
@@ -148,6 +153,23 @@ def _timed_chain(engines, drafts, procs, reps=3):
         out = chain()
         dt = min(dt, time.time() - t0)
     return dt, out
+
+
+def _timed_interleaved(chains: dict, reps: int = 5):
+    """min-of-reps for several configs with the reps INTERLEAVED in time —
+    this box's neighbor noise swings 2x between identical runs, so arms
+    timed in separate windows are incomparable; interleaving samples the
+    same noise for every arm."""
+    outs = {}
+    best = {name: float("inf") for name in chains}
+    for name, c in chains.items():  # warmups (compiles, pools)
+        outs[name] = c()
+    for _ in range(reps):
+        for name, c in chains.items():
+            t0 = time.time()
+            outs[name] = c()
+            best[name] = min(best[name], time.time() - t0)
+    return best, outs
 
 
 def main():
@@ -186,28 +208,34 @@ def main():
     t_1t, _ = _timed_chain(host_engines, base_drafts, procs=1)
     rate_1t = sum(len(d) for d in base_drafts) / t_1t
 
-    # host-only, all cores
-    t_host, _ = _timed_chain(host_engines, drafts, procs=procs)
-    rate_host = total / t_host
-
-    # production path (device scan pipeline when the chip wins placement)
+    # the two placement arms, reps interleaved (see _timed_interleaved);
+    # the reported scan= decision is exactly the A/B comparison the engine
+    # makes in production: best-of each arm on the real workload
     scan = "host"
-    rate_dev, chain_out = rate_host, None
     if backend != "numpy":
-        engines = engines_for(backend)
-        profile_dir = os.environ.get("GPTPU_PROFILE")
-        if profile_dir:
-            jax.profiler.start_trace(profile_dir)
-        t_dev, chain_out = _timed_chain(engines, drafts, procs=procs)
-        if profile_dir:
-            jax.profiler.stop_trace()
-            print(f"# jax profiler trace -> {profile_dir}", file=sys.stderr)
-        rate_dev = total / t_dev
-        scan = "device" if any(
-            getattr(e, "_scanner", None) is not None for e in engines
-        ) else "host"
-    if chain_out is None:
-        _t, chain_out = _timed_chain(host_engines, drafts, procs=procs, reps=1)
+        os.environ["GPTPU_FORCE_DEVICE_SCAN"] = "1"  # pin the device arm
+        try:
+            dev_engines = engines_for(backend)
+            profile_dir = os.environ.get("GPTPU_PROFILE")
+            if profile_dir:
+                jax.profiler.start_trace(profile_dir)
+            best, outs_map = _timed_interleaved({
+                "host": _chain_fn(host_engines, drafts, procs),
+                "device": _chain_fn(dev_engines, drafts, procs),
+            })
+            if profile_dir:
+                jax.profiler.stop_trace()
+                print(f"# jax profiler trace -> {profile_dir}", file=sys.stderr)
+        finally:
+            os.environ.pop("GPTPU_FORCE_DEVICE_SCAN", None)
+        rate_host = total / best["host"]
+        rate_dev = total / best["device"]
+        scan = "device" if rate_dev >= rate_host else "host"
+        chain_out = outs_map["device" if scan == "device" else "host"]
+    else:
+        t_host, chain_out = _timed_chain(host_engines, drafts, procs=procs)
+        rate_host = total / t_host
+        rate_dev = rate_host
     outs, chain_stats = chain_out
 
     headline = rate_dev if scan != "host" else rate_host

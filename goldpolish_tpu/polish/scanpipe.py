@@ -62,11 +62,13 @@ class ScanPipe:
 
     EXC_BUCKET = 256  # per-row non-ACGT exception slots in the packed path
 
-    def __init__(self, scanner, k: int, row_windows: int = ROW_WINDOWS,
+    def __init__(self, scanner, k: int, row_windows: int | None = None,
                  rows: int = ROWS, depth: int = DEPTH):
         self.scanner = scanner
         self.k = k
-        self.row_windows = int(row_windows)
+        # module-global default read at call time (tunable / patchable)
+        self.row_windows = int(row_windows if row_windows is not None
+                               else ROW_WINDOWS)
         self.rows = int(rows)
         self.depth = max(1, int(depth))
         self.row_bytes = self.row_windows + k - 1

@@ -180,3 +180,50 @@ def test_scanpipe_packed_transfer_matches_raw():
     pipe_raw._pack2 = None
     got_raw = dict(pipe_raw.run([(0, codes)]))
     assert np.array_equal(got_raw[0], want)
+
+
+def test_pipelined_polish_many_shape_fuzz():
+    """Random contig-size mixes (sub-k, exactly k, k+1, row-boundary sizes,
+    exception bytes) through the pipelined path match the numpy backend."""
+    import os
+
+    from goldpolish_tpu.polish import ntedit_oracle as ne
+    from goldpolish_tpu.polish.ntedit_tpu import NtEditTPU
+
+    rng = np.random.default_rng(99)
+    k, h = 32, 3
+    truth = np.frombuffer(b"ACGT", np.uint8)[rng.integers(0, 4, 40000)].copy()
+    bf = bloom.BloomFilter(1 << 18, h, k)
+    bf.insert(nt.multi_hashes(nt.canonical_hashes(truth, k), k, h))
+    sizes = [10, k, k + 1, 255, 256, 257, 1000, 7000]
+    drafts = []
+    a = 0
+    for n in sizes:
+        d = bytearray(truth[a : a + n].tobytes())
+        if n > 3 * k:
+            p = n // 2
+            d[p] = ord("A") if d[p] != ord("A") else ord("C")
+            d[p + 40] = ord("N")  # exception byte inside a draft
+        drafts.append(bytes(d))
+        a += n
+    cfg = ne.Config(k=k, h=h, use_ratio=True, mode=1, mask=1)
+    want = [
+        NtEditTPU(cfg, bf, backend="numpy").polish_contig(d)[0] for d in drafts
+    ]
+    os.environ["GPTPU_FORCE_DEVICE_SCAN"] = "1"
+    try:
+        from goldpolish_tpu.polish import scanpipe
+
+        eng = NtEditTPU(cfg, bf, backend="hybrid")
+        # small rows force many calls + ramp + tail paths
+        old_rw = scanpipe.ROW_WINDOWS
+        scanpipe.ROW_WINDOWS = 512
+        try:
+            got = eng.polish_many(drafts)
+        finally:
+            scanpipe.ROW_WINDOWS = old_rw
+        assert [o for o, _r, _e in got] == want
+        got2 = eng.polish_many(drafts, processes=2, shard_bases=3000)
+        assert [o for o, _r, _e in got2] == want
+    finally:
+        os.environ.pop("GPTPU_FORCE_DEVICE_SCAN", None)
