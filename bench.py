@@ -208,30 +208,42 @@ def main():
     t_1t, _ = _timed_chain(host_engines, base_drafts, procs=1)
     rate_1t = sum(len(d) for d in base_drafts) / t_1t
 
-    # the two placement arms, reps interleaved (see _timed_interleaved);
-    # the reported scan= decision is exactly the A/B comparison the engine
-    # makes in production: best-of each arm on the real workload
+    # the two placement arms, reps interleaved (see _timed_interleaved):
+    # "host" = host-only engines; "adaptive" = production hybrid engines
+    # whose per-k A/B placement is first driven to a lock by untimed
+    # calibration passes (each k's scan lands wherever it measured faster —
+    # the clean late-k pass typically locks host, the error-dense first k
+    # the device), then timed in its locked configuration.
     scan = "host"
+    scan_detail = ""
     if backend != "numpy":
-        os.environ["GPTPU_FORCE_DEVICE_SCAN"] = "1"  # pin the device arm
-        try:
-            dev_engines = engines_for(backend)
-            profile_dir = os.environ.get("GPTPU_PROFILE")
-            if profile_dir:
-                jax.profiler.start_trace(profile_dir)
-            best, outs_map = _timed_interleaved({
-                "host": _chain_fn(host_engines, drafts, procs),
-                "device": _chain_fn(dev_engines, drafts, procs),
-            })
-            if profile_dir:
-                jax.profiler.stop_trace()
-                print(f"# jax profiler trace -> {profile_dir}", file=sys.stderr)
-        finally:
-            os.environ.pop("GPTPU_FORCE_DEVICE_SCAN", None)
+        dev_engines = engines_for(backend)
+        calibrate = _chain_fn(dev_engines, drafts, procs)
+        for _ in range(4):  # A/B needs 2 device + 1 host samples, + lock
+            calibrate()
+        profile_dir = os.environ.get("GPTPU_PROFILE")
+        if profile_dir:
+            jax.profiler.start_trace(profile_dir)
+        best, outs_map = _timed_interleaved({
+            "host": _chain_fn(host_engines, drafts, procs),
+            "adaptive": calibrate,
+        })
+        if profile_dir:
+            jax.profiler.stop_trace()
+            print(f"# jax profiler trace -> {profile_dir}", file=sys.stderr)
         rate_host = total / best["host"]
-        rate_dev = total / best["device"]
-        scan = "device" if rate_dev >= rate_host else "host"
-        chain_out = outs_map["device" if scan == "device" else "host"]
+        rate_dev = total / best["adaptive"]
+        # which k's locked the device? (an A/B "host" lock keeps the
+        # scanner object around — read the placement table, not the engine)
+        from goldpolish_tpu.polish import ntedit_tpu as _nt
+
+        locks = {
+            k_: ab.get("locked") or "device"
+            for (k_, _h, _p), ab in _nt._AB_RUNS.items()
+        }
+        scan = "device" if any(v == "device" for v in locks.values()) else "host"
+        scan_detail = ",".join(f"k{k_}={v}" for k_, v in sorted(locks.items()))
+        chain_out = outs_map["adaptive" if rate_dev >= rate_host else "host"]
     else:
         t_host, chain_out = _timed_chain(host_engines, drafts, procs=procs)
         rate_host = total / t_host
@@ -263,7 +275,8 @@ def main():
     }
     print(json.dumps(result))
     print(
-        f"# platform={platform} backend={backend} scan={scan} "
+        f"# platform={platform} backend={backend} scan={scan}"
+        f"{'(' + scan_detail + ')' if scan_detail else ''} "
         f"n={total} contigs={len(drafts)} procs={procs} errors={n_err} "
         f"fixed: s{n_subs} i{n_ins} d{n_dels} "
         f"recovered={recovered} residual~{residual} | "

@@ -703,11 +703,16 @@ class NtEditTPU:
             _PM_STATE["bf"] = self.bf
             _PM_STATE.pop("eng", None)
             _PM_STATE.pop("items", None)
-            # seeded hybrid split: the first `processes` contigs go to the
-            # pool IMMEDIATELY as scan+walk tasks (native in-worker scan), so
-            # no worker idles during the device pipeline's first-call
-            # latency; the device scans the remainder while the seeds walk.
-            n_seed = min(processes, max(0, len(seqs) - 1))
+            # seeded hybrid split: the first contigs go to the pool
+            # IMMEDIATELY as scan+walk tasks (native in-worker scan), so no
+            # worker idles during the device pipeline's first-call latency
+            # and the host absorbs the share of scans the device cannot
+            # deliver in time (measured best near 3/8 of the jobs on the
+            # tunneled chip; at least one per worker).
+            n_seed = min(
+                max(processes, round(len(seqs) * 3 / 8)),
+                max(0, len(seqs) - 1),
+            )
             seed_ids = list(range(n_seed))
             jobs = [
                 (i, np.frombuffer(s, np.uint8))
