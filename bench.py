@@ -176,6 +176,12 @@ def main():
     from goldpolish_tpu.polish.multik import ntedit_config_for_k
     from goldpolish_tpu.polish.ntedit_tpu import NtEditTPU
 
+    t_start = time.time()
+
+    def mark(msg):
+        print(f"# [{time.time()-t_start:7.1f}s] {msg}", file=sys.stderr,
+              flush=True)
+
     jax = None
     backend = os.environ.get("GPTPU_BENCH_BACKEND")
     if backend == "numpy":
@@ -193,6 +199,7 @@ def main():
     truths, drafts, batch_bfs, n_err, bf_build_s, read_bases = build_scenario(
         n_bases, n_contigs
     )
+    mark("scenario built")
     total = sum(len(d) for d in drafts)
 
     def engines_for(bk):
@@ -207,6 +214,7 @@ def main():
     host_engines = engines_for("numpy")
     t_1t, _ = _timed_chain(host_engines, base_drafts, procs=1)
     rate_1t = sum(len(d) for d in base_drafts) / t_1t
+    mark("baseline_1t done")
 
     # the two placement arms, reps interleaved (see _timed_interleaved):
     # "host" = host-only engines; "adaptive" = production hybrid engines
@@ -218,9 +226,11 @@ def main():
     scan_detail = ""
     if backend != "numpy":
         dev_engines = engines_for(backend)
+        mark("hybrid engines built (placement probes done)")
         calibrate = _chain_fn(dev_engines, drafts, procs)
         for _ in range(4):  # A/B needs 2 device + 1 host samples, + lock
             calibrate()
+            mark("calibration pass")
         profile_dir = os.environ.get("GPTPU_PROFILE")
         if profile_dir:
             jax.profiler.start_trace(profile_dir)
@@ -231,6 +241,7 @@ def main():
         if profile_dir:
             jax.profiler.stop_trace()
             print(f"# jax profiler trace -> {profile_dir}", file=sys.stderr)
+        mark("interleaved timing done")
         rate_host = total / best["host"]
         rate_dev = total / best["adaptive"]
         # which k's locked the device? (an A/B "host" lock keeps the

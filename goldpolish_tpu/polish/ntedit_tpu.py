@@ -223,10 +223,6 @@ class EditStats:
 # fork-pool state for polish_many(processes=N): COW-inherited by workers
 _PM_STATE: dict = {}
 
-# adaptive-placement decision, measured once per process (the link doesn't
-# change between engines; re-probing per engine costs two 512K scans each)
-_SCAN_PLACEMENT: dict = {}
-
 # A/B placement samples for polish_many: {(k, h, probe): {"device": [rates],
 # "host": [rates], "locked": mode|None}} — shared across engine instances so
 # per-batch engines (the production pipeline builds fresh ones per batch)
@@ -305,11 +301,6 @@ class NtEditTPU:
                  a tunneled chip; the dense scan is the probe majority).
     """
 
-    #: assumed host walk rate (bases/s) for the pipelined-placement bar —
-    #: deliberately generous to the host (clean-data walks measure 3.5-6 M/s;
-    #: noisy batches are far slower, favoring the device further)
-    WALK_RATE_EST = 8e6
-
     def __init__(self, cfg: Config, bf, backend: str = "numpy"):
         self.cfg = cfg
         self.bf = bf
@@ -328,69 +319,11 @@ class NtEditTPU:
             self._words = bloom_jax.to_device_words(bf)
         elif backend == "hybrid":
             # device runs the fused dense scan (ops/scan_conv: MXU conv hash
-            # + size-adaptive Bloom probe); host runs candidate eval + walk.
-            import os as _os
-
+            # + size-adaptive Bloom probe); host runs candidate eval + walk;
+            # placement is A/B-measured per workload class in polish_many
             from ..ops import scan_conv
 
             self._scanner = scan_conv.DeviceScanner(bf)
-            if not _os.environ.get("GPTPU_FORCE_DEVICE_SCAN"):
-                self._maybe_demote_device_scan()
-
-    def _maybe_demote_device_scan(self) -> None:
-        """Adaptive placement for the dense scan, pipelining-aware.
-
-        With the lookahead pipeline (polish/scanpipe.py) the device scan
-        runs CONCURRENTLY with the host walk, so the device earns its place
-        whenever its end-to-end rate beats the host's *sequential* scan
-        share — i.e. when
-
-            dev_rate > host_scan * walk / (host_scan + walk)
-
-        (the throughput of the host doing both stages itself), with `walk`
-        a host-generous constant estimate.  A raw dev>host comparison would
-        wrongly demote a device that hides the scan entirely behind the
-        walk.  Measured once per process per (k, h, bits, probe); the chip
-        link's latency and bandwidth are in the measurement.
-        GPTPU_FORCE_DEVICE_SCAN=1 skips demotion."""
-        import time as _time
-
-        k, h = self.cfg.k, self.cfg.h
-        key = (k, h, int(self.bf.bits), self._scanner.probe)
-        if key in _SCAN_PLACEMENT:
-            if _SCAN_PLACEMENT[key] == "host":
-                self._scanner = None
-            return
-        try:
-            from .. import native
-
-            native.lib()
-        except Exception:  # noqa: BLE001 — no native scan: keep the device
-            _SCAN_PLACEMENT[key] = "device"
-            return
-        try:
-            n_probe = 1 << 20
-            codes_host = np.frombuffer(b"ACGT" * (n_probe // 4), np.uint8)
-            dev = None
-            for _rep in range(2):  # 1st call may compile / load the cache
-                t0 = _time.perf_counter()
-                np.asarray(self._scanner.scan_packed(codes_host, k))
-                dev = _time.perf_counter() - t0
-            t0 = _time.perf_counter()
-            native.bf_contains(self.bf, native.nthash_all(codes_host, k, h))
-            host = _time.perf_counter() - t0
-        except Exception:  # noqa: BLE001 — device probe failed: host scan
-            _SCAN_PLACEMENT[key] = "host"
-            self._scanner = None
-            return
-        dev_rate = n_probe / max(dev, 1e-9)
-        host_rate = n_probe / max(host, 1e-9)
-        self._host_scan_rate = host_rate
-        walk = self.WALK_RATE_EST
-        bar = host_rate * walk / (host_rate + walk)
-        _SCAN_PLACEMENT[key] = "device" if dev_rate > bar else "host"
-        if _SCAN_PLACEMENT[key] == "host":
-            self._scanner = None
 
     def _use_native_walk(self) -> bool:
         """The full native walk (gp_polish_contig) replaces phases A+B when
@@ -562,6 +495,11 @@ class NtEditTPU:
                 mode = "device"
             elif ab["locked"]:
                 mode = ab["locked"]
+            elif total < (1 << 20):
+                # sub-MB batches never record samples (too noisy to measure)
+                # and a host scan costs <30 ms — don't spend a device round
+                # trip on them without large-batch evidence
+                mode = "host"
             elif len(ab["device"]) < 2:
                 mode = "device"
             elif not ab["host"]:
