@@ -115,3 +115,78 @@ def test_reaper_resumes_from_progress(tmp_path):
     assert text == "".join(f">b{i}\n{'ACGT' * (i + 1)}\n" for i in range(4))
     assert not os.path.exists(dist.reap_progress_path(out))
     assert dist.reaped_through(out) == 0
+
+
+def test_sigkill_midrun_resume_byte_identical(tmp_path):
+    """Kill a checkpointed run with SIGKILL mid-way, resume, and require
+    output byte-identical to an uninterrupted run with no batch re-polished
+    twice (the manifest marks only AFTER the replay file is published)."""
+    import signal
+    import subprocess
+    import sys
+    import time
+
+    draft, reads, paf = _scenario(tmp_path, n_contigs=10, contig_len=6000,
+                                  coverage=10)
+    ref_out = str(tmp_path / "ref.fa")
+    bulk.run_bulk(_cfg2(tmp_path, draft, reads, paf, ref_out))
+    ref = open(ref_out).read()
+
+    out = str(tmp_path / "res.fa")
+    ckpt = str(tmp_path / "ck.jsonl")
+    # subprocess run with each batch slowed so the kill lands mid-run
+    script = f"""
+import sys, time
+sys.path.insert(0, {os.getcwd()!r})
+import jax
+jax.config.update("jax_platforms", "cpu")
+from goldpolish_tpu.config import PipelineConfig
+from goldpolish_tpu.pipeline import bulk
+import goldpolish_tpu.pipeline.bulk as B
+_orig = B.polish_batch_records
+def slow(records, builder, cfg):
+    time.sleep(0.35)
+    return _orig(records, builder, cfg)
+B.polish_batch_records = slow
+cfg = PipelineConfig(
+    seqs_to_polish={draft!r}, polishing_seqs={reads!r},
+    output_seqs={out!r}, mappings_path={paf!r},
+    k_values=[32, 28], batch_size=1, run_sealer=False,
+    workspace={str(tmp_path / 'wsk')!r}, checkpoint={ckpt!r},
+    max_concurrent_batches=2,
+)
+bulk.run_bulk(cfg)
+"""
+    p = subprocess.Popen([sys.executable, "-c", script])
+    # kill once the manifest shows real progress (mid-run by construction:
+    # batches take 0.35s each, so the run cannot finish between the check
+    # and the SIGKILL)
+    deadline = time.time() + 120
+    while time.time() < deadline:
+        if os.path.exists(ckpt) and len(
+            open(ckpt).read().strip().splitlines()
+        ) >= 2:
+            break
+        time.sleep(0.05)
+        if p.poll() is not None:
+            break
+    p.send_signal(signal.SIGKILL)
+    p.wait()
+    done_before = 0
+    if os.path.exists(ckpt):
+        done_before = len(open(ckpt).read().strip().splitlines())
+    assert 2 <= done_before < 10, done_before  # the kill landed MID-run
+    # resume in-process (no slowdown)
+    stats = bulk.run_bulk(_cfg2(tmp_path, draft, reads, paf, out, ckpt))
+    assert stats["resumed_batches"] == done_before  # nothing re-polished
+    assert open(out).read() == ref
+    assert not os.path.exists(ckpt)  # completed run cleaned its state
+
+
+def _cfg2(tmp_path, draft, reads, paf, out, ckpt=None):
+    return PipelineConfig(
+        seqs_to_polish=draft, polishing_seqs=reads, output_seqs=out,
+        mappings_path=paf, k_values=[32, 28], batch_size=1, run_sealer=False,
+        workspace=str(tmp_path / "ws2"), checkpoint=ckpt,
+        max_concurrent_batches=2,
+    )
