@@ -113,7 +113,11 @@ def _classes_from_packed(packed: jnp.ndarray, L: int, exc_idx, exc_byte):
     cls = ((packed[..., None] >> shifts) & jnp.uint8(3)).astype(jnp.int32)
     cls = cls.reshape(b_dim, -1)[:, :L]
     clsf = cls
-    clsr = jnp.asarray(_RC_OF_CLASS)[cls]
+    # rc class of ACGT = [1, 3, 7, 4]: selects, NOT a table gather (an
+    # 8M-element gather costs more than the transfer the packing saves)
+    clsr = jnp.where(
+        cls == 0, 1, jnp.where(cls == 1, 3, jnp.where(cls == 2, 7, 4))
+    )
     if exc_idx is not None and exc_idx.shape[-1]:
         rows = jnp.broadcast_to(
             jnp.arange(b_dim, dtype=jnp.int32)[:, None], exc_idx.shape
