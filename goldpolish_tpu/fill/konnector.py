@@ -54,8 +54,12 @@ class DBG:
         try:
             from .. import native
 
-            native.lib()
-            self._ext4 = native.extend4
+            native.extend4(b"A" * k, self.h, bf, True)  # configure + warm
+            # bind the raw symbol + a prepared filter pointer once: the
+            # per-call ctypes cast would otherwise cost ~half of gp_extend4
+            self._ext4_fn = native.lib().gp_extend4
+            self._ext4_bf = native._u8ptr(bf.array)
+            self._ext4 = True
         except Exception:  # noqa: BLE001 — pure-Python fallback below
             pass
 
@@ -101,7 +105,9 @@ class DBG:
 
     def successors(self, kmer: str) -> list[str]:
         if self._ext4 is not None:
-            mask = self._ext4(kmer.encode(), self.h, self.bf, True)
+            mask = self._ext4_fn(
+                kmer.encode(), self.k, self.h, self._ext4_bf, self.bf.bytes, 1
+            )
             prefix = kmer[1:]
             return [prefix + b for i, b in enumerate("ACGT") if mask >> i & 1]
         # the 4 candidates share the (k-1)-prefix: seed one state, then
@@ -121,7 +127,9 @@ class DBG:
 
     def predecessors(self, kmer: str) -> list[str]:
         if self._ext4 is not None:
-            mask = self._ext4(kmer.encode(), self.h, self.bf, False)
+            mask = self._ext4_fn(
+                kmer.encode(), self.k, self.h, self._ext4_bf, self.bf.bytes, 0
+            )
             suffix = kmer[:-1]
             return [b + suffix for i, b in enumerate("ACGT") if mask >> i & 1]
         suffix = kmer[:-1]
