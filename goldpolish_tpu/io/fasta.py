@@ -106,6 +106,11 @@ class FastaWriter:
     def flush(self) -> None:
         self._f.flush()
 
+    def tell(self) -> int:
+        """Current byte offset (post-flush) — reaper resume bookkeeping."""
+        self._f.flush()
+        return self._f.tell()
+
     def close(self) -> None:
         self._f.close()
 

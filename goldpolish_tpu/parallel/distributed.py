@@ -80,19 +80,34 @@ def reap(output_seqs: str, n_batches: int, poll_interval: float = 0.5,
     i+1.  An empty batch file aborts (reaper:38-40 semantics).
 
     resumable=True persists progress ("<out>.reaped" holds the next batch
-    index, atomically replaced AFTER each append) so a killed run restarts
-    where it left off: already-reaped batches stay in the output file
-    (reopened in append mode) and are never re-requested from workers.  The
-    progress file is removed on completion.
+    index AND the output byte offset it corresponds to, atomically replaced
+    after each append but BEFORE the batch file is removed) so a killed run
+    restarts where it left off.  On resume the output is truncated back to
+    the recorded offset, which makes every crash window safe:
+
+      * crash mid-append of batch i  -> progress still (i, off_i); truncate
+        drops the partial append and batch i's file is still present;
+      * crash after progress write but before the batch-file remove -> the
+        resumed reaper starts at i+1 at the correct offset and scrubs the
+        stale already-appended batch file instead of re-appending it.
+
+    The progress file is removed on completion.
     """
     from ..io import fasta
 
     progress = reap_progress_path(output_seqs)
-    start = 0
-    if resumable and os.path.exists(progress):
-        with open(progress) as f:
-            start = int(f.read().strip() or 0)
-        log.info("reaper resuming at batch %d", start)
+    start, offset = _read_progress(progress) if resumable else (0, None)
+    if start:
+        log.info("reaper resuming at batch %d (output offset %s)", start, offset)
+        if offset is not None and os.path.exists(output_seqs):
+            # drop any bytes past the last durable append (partial batch)
+            with open(output_seqs, "r+b") as f:
+                f.truncate(offset)
+        # scrub batch files already appended before the crash
+        for i in range(start):
+            stale = batch_path(output_seqs, i)
+            if os.path.exists(stale):
+                os.remove(stale)
     deadline = time.time() + timeout
     with fasta.FastaWriter(output_seqs, append=start > 0) as w:
         for i in range(start, n_batches):
@@ -108,21 +123,28 @@ def reap(output_seqs: str, n_batches: int, poll_interval: float = 0.5,
             for rec in fasta.read_seqs(path):
                 w.write(rec)
             w.flush()
-            os.remove(path)
             if resumable:
                 tmp = progress + ".tmp"
                 with open(tmp, "w") as f:
-                    f.write(str(i + 1))
+                    f.write(f"{i + 1} {w.tell()}")
                 os.replace(tmp, progress)
+            os.remove(path)
     if resumable and os.path.exists(progress):
         os.remove(progress)
     log.info("reaped %d batches -> %s", n_batches, output_seqs)
 
 
+def _read_progress(progress: str) -> tuple[int, int | None]:
+    """Parse the progress file -> (next_index, output_offset|None)."""
+    if not os.path.exists(progress):
+        return 0, None
+    with open(progress) as f:
+        fields = f.read().split()
+    if not fields:
+        return 0, None
+    return int(fields[0]), (int(fields[1]) if len(fields) > 1 else None)
+
+
 def reaped_through(output_seqs: str) -> int:
     """Next batch index the (resumable) reaper will consume; 0 if fresh."""
-    progress = reap_progress_path(output_seqs)
-    if os.path.exists(progress):
-        with open(progress) as f:
-            return int(f.read().strip() or 0)
-    return 0
+    return _read_progress(reap_progress_path(output_seqs))[0]

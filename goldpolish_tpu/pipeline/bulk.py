@@ -133,7 +133,10 @@ def resolve_mappings(cfg: PipelineConfig, target_index,
             f".{os.path.basename(cfg.polishing_seqs)}.internal.mapping.tsv"
         )
         if not fresh(path):
-            tmp = os.path.join(workdir, "mapping.tsv.tmp")
+            # tmp next to the destination: the workspace is usually /dev/shm
+            # while the artifact lands in the CWD, and rename(2) across
+            # filesystems raises EXDEV
+            tmp = path + ".tmp"
             internal_mapper.write_mapping_tsv(
                 cfg.seqs_to_polish, cfg.polishing_seqs, tmp
             )
@@ -375,6 +378,19 @@ def run_bulk(cfg: PipelineConfig) -> dict:
                             )
                         ):
                             totals["resumed_batches"] += 1
+                            # account the skipped batch in totals so resumed
+                            # runs don't under-report; the published file
+                            # carries exact counts, a reaped batch falls back
+                            # to the input-record count (1 record in == 1 out)
+                            published = dist.batch_path(
+                                cfg.output_seqs, b.index
+                            )
+                            if os.path.exists(published):
+                                for r in fasta.read_seqs(published):
+                                    totals["contigs"] += 1
+                                    totals["bases_out"] += len(r.seq)
+                            else:
+                                totals["contigs"] += len(b.records)
                             return
                         res = await worker(b)
                         sink_batch(b.index, res)

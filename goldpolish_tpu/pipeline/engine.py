@@ -84,6 +84,10 @@ class CheckpointManifest:
         self._fh = open(path, "a") if path else None
 
     def mark(self, index: int, meta: dict | None = None) -> None:
+        # idempotent: a re-polished batch (replay file vanished) must not
+        # append a duplicate line — manifest line count == done-batch count
+        if index in self.done:
+            return
         self.done.add(index)
         if self._fh:
             rec = {"batch": index, "t": time.time()}
