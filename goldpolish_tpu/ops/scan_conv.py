@@ -223,23 +223,30 @@ def scan_present_packed2_gather(words, bits: int, h: int, k: int, L: int,
     return _pack_bits(pres)
 
 
-@functools.partial(jax.jit, static_argnums=(1, 2, 3))
-def scan_present_packed_mxu(planes_i8, bits: int, h: int, k: int, codes):
-    """Fused scan, int8 MXU one-hot probe (bits <= MXU_PROBE_MAX_BITS)."""
+@functools.partial(jax.jit, static_argnums=(1, 2, 3),
+                   static_argnames=("interpret",))
+def scan_present_packed_mxu(planes_i8, bits: int, h: int, k: int, codes,
+                            interpret: bool = False):
+    """Fused scan, int8 MXU one-hot probe (bits <= MXU_PROBE_MAX_BITS).
+
+    interpret=True runs the Pallas probe in interpret mode — CPU-mesh tests
+    of the sharded MXU path (no Mosaic backend off-TPU)."""
     from . import bloom_pallas
 
     base = canonical_hashes_conv(codes, k)
     lo = _multi_lo32(base, k, h)
     b_dim, nw = lo.shape[0], lo.shape[1]
     pres = bloom_pallas.probe_lo32_mxu_i8(
-        planes_i8, bits, lo.reshape(-1, h)
+        planes_i8, bits, lo.reshape(-1, h), interpret=interpret
     ).reshape(b_dim, nw)
     return _pack_bits(pres)
 
 
-@functools.partial(jax.jit, static_argnums=(1, 2, 3, 4))
+@functools.partial(jax.jit, static_argnums=(1, 2, 3, 4),
+                   static_argnames=("interpret",))
 def scan_present_packed2_mxu(planes_i8, bits: int, h: int, k: int, L: int,
-                             packed, exc_idx, exc_byte):
+                             packed, exc_idx, exc_byte,
+                             interpret: bool = False):
     """2-bit-packed-transfer scan with the int8 MXU one-hot probe."""
     from . import bloom_pallas
 
@@ -248,7 +255,7 @@ def scan_present_packed2_mxu(planes_i8, bits: int, h: int, k: int, L: int,
     lo = _multi_lo32(fh + rh, k, h)
     b_dim, nw = lo.shape[0], lo.shape[1]
     pres = bloom_pallas.probe_lo32_mxu_i8(
-        planes_i8, bits, lo.reshape(-1, h)
+        planes_i8, bits, lo.reshape(-1, h), interpret=interpret
     ).reshape(b_dim, nw)
     return _pack_bits(pres)
 
@@ -276,35 +283,97 @@ class DeviceScanner:
         self.h = int(bf.hash_num)
         self._planes = None
         self._mesh = None
+        self._sharded_cache: dict = {}
         self.n_devices = len(jax.devices())
+        on_tpu = jax.devices()[0].platform == "tpu"
+        # Pallas interpret mode lets the MXU probe run on CPU-device meshes
+        # (tests / multi-chip dryrun); real TPUs compile the Mosaic kernel
+        self._interpret = not on_tpu
         probe = force_probe
         if probe is None:
-            on_tpu = jax.devices()[0].platform == "tpu"
             pow2 = self.bits & (self.bits - 1) == 0
             probe = (
                 "mxu"
                 if on_tpu and pow2 and self.bits <= MXU_PROBE_MAX_BITS
                 else "gather"
             )
-        if self.n_devices > 1 and probe == "gather":
+        self.probe = probe
+        words = bf.words_u32()
+        if self.n_devices > 1:
+            # dp row sharding for BOTH probe kinds: the filter (words or
+            # int8 planes) is replicated — it is <= a few MiB next to HBM —
+            # and scan rows split over the mesh (the packing already carries
+            # the k-1 halos, so shards need no collectives)
             from jax.sharding import Mesh, NamedSharding, PartitionSpec
 
             self._mesh = Mesh(np.array(jax.devices()), ("dp",))
             self._row_sharding = NamedSharding(
                 self._mesh, PartitionSpec("dp", None)
             )
-            self._words = jax.device_put(
-                bf.words_u32(), NamedSharding(self._mesh, PartitionSpec())
-            )
-        else:
-            self._words = jnp.asarray(bf.words_u32())
-        if probe == "mxu":
-            from . import bloom_pallas
+            repl = NamedSharding(self._mesh, PartitionSpec())
+            self._words = jax.device_put(words, repl)
+            if probe == "mxu":
+                from . import bloom_pallas
 
-            self._planes = jnp.asarray(
-                bloom_pallas.words_to_planes_i8(np.asarray(self._words))
-            )
-        self.probe = probe
+                self._planes = jax.device_put(
+                    bloom_pallas.words_to_planes_i8(words), repl
+                )
+        else:
+            self._words = jnp.asarray(words)
+            if probe == "mxu":
+                from . import bloom_pallas
+
+                self._planes = jnp.asarray(
+                    bloom_pallas.words_to_planes_i8(words)
+                )
+
+    def _sharded_scan(self, kind: str, k: int, L: int = 0):
+        """shard_map-wrapped scan for the dp mesh; cached per (kind, k, L).
+
+        XLA's SPMD partitioner cannot split a pallas_call on its own, so the
+        MXU probe shards via shard_map (each device runs the full fused
+        program on its row shard against the replicated filter); the gather
+        probe uses the same wrapper for uniformity."""
+        key = (kind, k, L)
+        fn = self._sharded_cache.get(key)
+        if fn is not None:
+            return fn
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        bits, h, mxu, interp = self.bits, self.h, self.probe == "mxu", self._interpret
+        row = P("dp", None)
+        if kind == "scan":
+            def body(filt, codes):
+                if mxu:
+                    return scan_present_packed_mxu(
+                        filt, bits, h, k, codes, interpret=interp
+                    )
+                return scan_present_packed_gather(filt, bits, h, k, codes)
+
+            in_specs = (P(), row)
+        else:
+            def body(filt, packed, exc_idx, exc_byte):
+                if mxu:
+                    return scan_present_packed2_mxu(
+                        filt, bits, h, k, L, packed, exc_idx, exc_byte,
+                        interpret=interp,
+                    )
+                return scan_present_packed2_gather(
+                    filt, bits, h, k, L, packed, exc_idx, exc_byte
+                )
+
+            in_specs = (P(), row, row, row)
+        fn = jax.jit(shard_map(
+            body, mesh=self._mesh, in_specs=in_specs, out_specs=row,
+            check_vma=False,
+        ))
+        self._sharded_cache[key] = fn
+        return fn
+
+    @property
+    def _filter_arg(self):
+        return self._planes if self.probe == "mxu" else self._words
 
     @property
     def preferred_rows(self) -> int:
@@ -326,16 +395,15 @@ class DeviceScanner:
             if pad:
                 codes = np.pad(codes, ((0, pad), (0, 0)))
             codes = jax.device_put(codes, self._row_sharding)
-            out = scan_present_packed_gather(
-                self._words, self.bits, self.h, k, codes
-            )
+            out = self._sharded_scan("scan", k)(self._filter_arg, codes)
             return out[:b]
         codes = jnp.asarray(codes)
         if codes.ndim == 1:
             codes = codes[None, :]
         if self._planes is not None:
             return scan_present_packed_mxu(
-                self._planes, self.bits, self.h, k, codes
+                self._planes, self.bits, self.h, k, codes,
+                interpret=self._interpret,
             )
         return scan_present_packed_gather(
             self._words, self.bits, self.h, k, codes
@@ -360,14 +428,13 @@ class DeviceScanner:
                 jax.device_put(exc_idx, self._row_sharding),
                 jax.device_put(exc_byte, self._row_sharding),
             )
-            out = scan_present_packed2_gather(
-                self._words, self.bits, self.h, k, L, *args
-            )
+            out = self._sharded_scan("scan2", k, L)(self._filter_arg, *args)
             return out[:b]
         args = (jnp.asarray(packed), jnp.asarray(exc_idx), jnp.asarray(exc_byte))
         if self._planes is not None:
             return scan_present_packed2_mxu(
-                self._planes, self.bits, self.h, k, L, *args
+                self._planes, self.bits, self.h, k, L, *args,
+                interpret=self._interpret,
             )
         return scan_present_packed2_gather(
             self._words, self.bits, self.h, k, L, *args
