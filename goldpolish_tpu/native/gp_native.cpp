@@ -74,6 +74,16 @@ inline uint64_t srol_n(uint64_t v, unsigned n) {
   return (hi << 33) | lo;
 }
 
+// split-rotate right by n (inverse of srol_n; the reverse-strand hash's
+// per-roll transform is one right-rotation, so its n-step power is this)
+inline uint64_t sror_n(uint64_t v, unsigned n) {
+  unsigned s31 = n % 31, s33 = n % 33;
+  uint64_t hi = v >> 33, lo = v & M33;
+  hi = ((hi >> s31) | (hi << (31 - s31))) & M31;
+  lo = ((lo >> s33) | (lo << (33 - s33))) & M33;
+  return (hi << 33) | lo;
+}
+
 inline void multi_hash(uint64_t base, unsigned k, unsigned m, uint64_t* out) {
   out[0] = base;
   for (unsigned i = 1; i < m; i++) {
@@ -1304,15 +1314,31 @@ inline int32_t plan_count(const ProbePlan& p, const WalkCtx& w,
   return c;
 }
 
-void ins_plan_c(WalkCtx& w, uint8_t draft, uint8_t index_char,
-                int32_t combo_i, const Cursor& st, uint64_t fh, uint64_t rh,
-                ProbePlan& p) {
+// Per-length reference chain for the insertion-combo trials.  ntHash's
+// roll is XOR-linear in the hash state (fh' = srol(fh) ^ f(c_in, c_out);
+// rh' = sror(rh ^ g(c_in, c_out))), and every combo of the same length
+// rolls the SAME (c_out, c_in) sequence except for the combo's own chars
+// cc[1..clen-1] (cc[0] is the index char placed by changelast; the final
+// rolled char is the shared draft char).  So one chain walk per length
+// gives every other combo's probe-point hashes as
+//     fh = ref_fh ^ srol^(s-(L-1))(dbase_f)
+//     rh = ref_rh ^ sror^(s-(L-1))(dbase_r)
+// where s is the point's roll count and dbase the XOR of the differing
+// chars' seed deltas aligned to step L-1 — ~10 ops per point instead of
+// jump rope+hash rolls.  Exact: identical probe values, order, count.
+struct RefPlan {
+  uint64_t fh[64], rh[64];
+  int32_t s[64];           // rolls completed at each probe point
+  int32_t np = 0;
+  const uint8_t* cc = nullptr;  // the reference combo's codes
+  int32_t clen = 0;
+  bool valid = false;
+};
+
+void ins_plan_ref_c(WalkCtx& w, uint8_t draft, uint8_t index_char,
+                    const uint8_t* cc, int32_t clen, const Cursor& st,
+                    uint64_t fh, uint64_t rh, RefPlan& rp, ProbePlan& p) {
   const uint32_t k = w.k;
-  int row = index_char == 'A' ? 0 : index_char == 'C' ? 1
-            : index_char == 'G' ? 2 : 3;
-  const uint8_t* cc =
-      w.combo_codes + ((int64_t)row * w.n_combos + combo_i) * w.max_ins;
-  const int32_t clen = w.combo_len[combo_i];
   uint8_t combo[72];
   std::memcpy(combo, cc, clen);
   combo[clen] = draft;
@@ -1320,22 +1346,70 @@ void ins_plan_c(WalkCtx& w, uint8_t draft, uint8_t index_char,
   Cursor tmp = st;
   uint64_t tfh = fh, trh = rh;
   hash_changelast(tfh, trh, k, draft, index_char);
+  rp.np = 0;
+  rp.cc = cc;
+  rp.clen = clen;
+  rp.valid = true;
   p.np = 0;
   int32_t kk = 0;
   while (kk < combo_total - 1 && tmp.h < w.n) {
     uint8_t c_out = rope_get_char(w, tmp.h, w.rope[tmp.hn]);
     hash_roll(tfh, trh, k, c_out, combo[kk + 1]);
     rope_increment(w, tmp.h, tmp.hn);
-    if (kk % w.jump == 0) plan_add(p, w, tfh, trh);
+    if (kk % w.jump == 0) {
+      rp.fh[rp.np] = tfh;
+      rp.rh[rp.np] = trh;
+      rp.s[rp.np++] = kk + 1;
+      plan_add(p, w, tfh, trh);
+    }
     kk++;
   }
   while (kk < (int32_t)k - 1 && tmp.h < w.n) {
     uint8_t c_out, c_in;
     if (rope_roll(w, tmp, c_out, c_in)) {
       hash_roll(tfh, trh, k, c_out, c_in);
-      if (kk % w.jump == 0) plan_add(p, w, tfh, trh);
+      if (kk % w.jump == 0) {
+        rp.fh[rp.np] = tfh;
+        rp.rh[rp.np] = trh;
+        rp.s[rp.np++] = kk + 1;
+        plan_add(p, w, tfh, trh);
+      }
     }
     kk++;
+  }
+}
+
+// Derive combo cc's probe plan from its length group's reference chain.
+inline void ins_plan_fast_c(const WalkCtx& w, const RefPlan& rp,
+                            const uint8_t* cc, ProbePlan& p) {
+  const int32_t L = rp.clen;
+  const uint32_t k = w.k;
+  // seed deltas of the differing combo chars (j in [1, L-1))
+  uint64_t dbf = 0, dbr = 0;
+  uint64_t fd[8], rd[8];
+  for (int32_t j = 1; j < L; j++) {
+    const uint8_t a = cc[j], b = rp.cc[j];
+    fd[j] = kSeeds.fwd[a] ^ kSeeds.fwd[b];
+    rd[j] = srol_n(kSeeds.rc[a] ^ kSeeds.rc[b], k);
+    dbf ^= srol_n(fd[j], (unsigned)(L - 1 - j));
+    dbr ^= sror_n(rd[j], (unsigned)(L - j));
+  }
+  p.np = 0;
+  for (int32_t t = 0; t < rp.np; t++) {
+    const int32_t s = rp.s[t];
+    uint64_t df, dr;
+    if (s >= L - 1) {
+      df = srol_n(dbf, (unsigned)(s - (L - 1)));
+      dr = sror_n(dbr, (unsigned)(s - (L - 1)));
+    } else {  // mid-roll-in point: only the first s combo chars are in
+      df = 0;
+      dr = 0;
+      for (int32_t j = 1; j <= s; j++) {
+        df ^= srol_n(fd[j], (unsigned)(s - j));
+        dr ^= sror_n(rd[j], (unsigned)(s - j + 1));
+      }
+    }
+    plan_add(p, w, rp.fh[t] ^ df, rp.rh[t] ^ dr);
   }
 }
 
@@ -1409,12 +1483,24 @@ bool run_indel_trials_c(WalkCtx& w, uint8_t draft, int32_t ci,
   const int row = index_char == 'A' ? 0 : index_char == 'C' ? 1
                   : index_char == 'G' ? 2 : 3;
   // ping-pong: combo i+1's plan (compute + prefetch) is built while combo
-  // i's prefetched lines are still arriving, so tests run from warm cache
+  // i's prefetched lines are still arriving, so tests run from warm cache.
+  // One full chain walk per combo LENGTH (RefPlan); every other combo's
+  // plan derives from its group's chain by XOR-delta (ins_plan_fast_c).
   ProbePlan plans[2];
-  if (w.n_combos > 0) ins_plan_c(w, draft, index_char, 0, st, fh, rh, plans[0]);
+  RefPlan refs[8];
+  auto build_plan = [&](int32_t i, ProbePlan& p) {
+    const uint8_t* cc =
+        w.combo_codes + ((int64_t)row * w.n_combos + i) * w.max_ins;
+    const int32_t clen = w.combo_len[i];
+    RefPlan& rp = refs[clen & 7];
+    if (!rp.valid)
+      ins_plan_ref_c(w, draft, index_char, cc, clen, st, fh, rh, rp, p);
+    else
+      ins_plan_fast_c(w, rp, cc, p);
+  };
+  if (w.n_combos > 0) build_plan(0, plans[0]);
   for (int32_t i = 0; i < w.n_combos; i++) {
-    if (i + 1 < w.n_combos)
-      ins_plan_c(w, draft, index_char, i + 1, st, fh, rh, plans[(i + 1) & 1]);
+    if (i + 1 < w.n_combos) build_plan(i + 1, plans[(i + 1) & 1]);
     int32_t check = plan_count(plans[i & 1], w, w.bail_edit);
     const uint8_t* cc =
         w.combo_codes + ((int64_t)row * w.n_combos + i) * w.max_ins;
