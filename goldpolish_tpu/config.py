@@ -59,6 +59,11 @@ class PipelineConfig:
     # fast-mode device Bloom build (jax backend only; slight-superset
     # filter — see BFBuilder.build_batch_device)
     device_bf_build: bool = False
+    # lookahead Bloom fill: batch N+1's filters build on a background
+    # thread while batch N polishes (the reference BF-server's concurrency,
+    # goldpolish_targeted_bfs.cpp:177-238); thread-pool path only — fork
+    # pool workers fill in-process by construction
+    lookahead_fill: bool = True
     checkpoint: str = ""  # manifest path for preemption-safe resume
     max_concurrent_batches: int = 4
     run_sealer: bool = True

@@ -168,8 +168,23 @@ def _pool_worker(records):
     )
 
 
-def polish_batch_records(records, builder: BFBuilder, cfg: PipelineConfig) -> BatchResult:
+def build_batch_bfs(builder: BFBuilder, cfg: PipelineConfig, ids: list[str]):
+    """Per-batch filter build, host or fast-mode device (superset filter,
+    documented deviation; in-process only — fork-pool workers never run the
+    jax backend)."""
+    if cfg.device_bf_build and cfg.backend == "jax":
+        return builder.build_batch_device(ids)
+    return builder.build_batch(ids)
+
+
+def polish_batch_records(records, builder: BFBuilder, cfg: PipelineConfig,
+                         batch_bfs=None) -> BatchResult:
     """One batch through the full chain (ntedit -> mask -> sealer -> upper).
+
+    batch_bfs: prefilled filters from the lookahead fill thread (the
+    reference's BF-builder-server concurrency, goldpolish_targeted_bfs.cpp
+    :177-238 — batch N+1's filters build while batch N polishes); None
+    builds inline.
 
     Per-stage wall times land in stats["timing"] — the in-process
     equivalent of the reference's opt-in GNU-time rule wrapping
@@ -179,12 +194,8 @@ def polish_batch_records(records, builder: BFBuilder, cfg: PipelineConfig) -> Ba
     ids = [h.split()[0] for h, _ in records]
     timing: dict = {}
     t0 = _time.monotonic()
-    if cfg.device_bf_build and cfg.backend == "jax":
-        # fast-mode device build (superset filter, documented deviation;
-        # in-process only — fork-pool workers never run the jax backend)
-        batch_bfs = builder.build_batch_device(ids)
-    else:
-        batch_bfs = builder.build_batch(ids)
+    if batch_bfs is None:
+        batch_bfs = build_batch_bfs(builder, cfg, ids)
     timing["bf_build_s"] = round(_time.monotonic() - t0, 3)
     stats: dict = {"timing": timing}
     # 1. multi-k ntEdit with rollback guard
@@ -281,6 +292,7 @@ def run_bulk(cfg: PipelineConfig) -> dict:
         loop = asyncio.new_event_loop()
 
         executor = None
+        fill_exec = None
         if cfg.process_pool and cfg.backend != "numpy":
             log.warning(
                 "--process-pool requires the numpy backend (forked workers "
@@ -304,6 +316,56 @@ def run_bulk(cfg: PipelineConfig) -> dict:
                 return await loop.run_in_executor(
                     executor, _pool_worker, batch.records
                 )
+        elif cfg.lookahead_fill and len(my_batches) > 1:
+            # lookahead Bloom fill (reference BF-server concurrency,
+            # goldpolish_targeted_bfs.cpp:177-238): a dedicated thread fills
+            # batch N+1's filters while batch N polishes, so the fill never
+            # sits serially at the head of a batch.  One thread — the native
+            # fill releases the GIL and parallelizes over k internally.
+            import concurrent.futures as _cf
+            import threading as _threading
+            import time as _time2
+
+            fill_exec = _cf.ThreadPoolExecutor(
+                max_workers=1, thread_name_prefix="bf-fill"
+            )
+            fill_futs: dict = {}
+            fill_lock = _threading.Lock()
+            pos_of = {b.index: p for p, b in enumerate(my_batches)}
+
+            def _timed_fill(ids):
+                t0 = _time2.monotonic()
+                bfs = build_batch_bfs(builder, cfg, ids)
+                return bfs, _time2.monotonic() - t0
+
+            def _ensure_fill(pos: int):
+                if not 0 <= pos < len(my_batches):
+                    return None
+                b = my_batches[pos]
+                with fill_lock:
+                    fut = fill_futs.get(b.index)
+                    if fut is None:
+                        ids = [h.split()[0] for h, _ in b.records]
+                        fut = fill_exec.submit(_timed_fill, ids)
+                        fill_futs[b.index] = fut
+                return fut
+
+            async def worker(batch: engine.Batch):
+                pos = pos_of[batch.index]
+                fut = _ensure_fill(pos)
+                _ensure_fill(pos + 1)  # the lookahead
+                batch_bfs, fill_s = await loop.run_in_executor(
+                    None, fut.result
+                )
+                with fill_lock:
+                    fill_futs.pop(batch.index, None)
+                res = await loop.run_in_executor(
+                    None, polish_batch_records, batch.records, builder, cfg,
+                    batch_bfs,
+                )
+                # the fill ran off the critical path; account it separately
+                res.stats["timing"]["bf_fill_bg_s"] = round(fill_s, 3)
+                return res
         else:
             async def worker(batch: engine.Batch):
                 return await loop.run_in_executor(
@@ -432,6 +494,8 @@ def run_bulk(cfg: PipelineConfig) -> dict:
                 loop.close()
         if executor is not None:
             executor.shutdown()
+        if fill_exec is not None:
+            fill_exec.shutdown()
         if ckpt_dir:
             # run complete: the final output holds everything — drop the
             # per-batch replay files and the manifest so a rerun starts fresh

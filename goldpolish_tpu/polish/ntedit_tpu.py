@@ -224,10 +224,15 @@ class EditStats:
 _PM_STATE: dict = {}
 
 # A/B placement samples for polish_many: {(k, h, probe): {"device": [rates],
-# "host": [rates], "locked": mode|None}} — shared across engine instances so
-# per-batch engines (the production pipeline builds fresh ones per batch)
-# converge after a couple of batches per k.
+# "host": [rates], "locked": mode|None, "since": n}} — shared across engine
+# instances so per-batch engines (the production pipeline builds fresh ones
+# per batch) converge after a couple of batches per k.  A lock is NOT
+# permanent: every _AB_REPROBE-th locked-mode call runs the other arm once
+# and the lock re-decides on the freshest samples, so one unlucky early
+# sample (this box's noise swings 2x) cannot freeze a long run.
 _AB_RUNS: dict = {}
+_AB_REPROBE = 10  # locked calls between fresh looks at the other arm
+_AB_KEEP = 4      # freshest samples per arm considered for the decision
 
 
 def _pm_worker(i: int):
@@ -489,12 +494,18 @@ class NtEditTPU:
             total = sum(len(s) for s in seqs)
             key = (self.cfg.k, self.cfg.h, self._scanner.probe)
             ab = _AB_RUNS.setdefault(
-                key, {"device": [], "host": [], "locked": None}
+                key, {"device": [], "host": [], "locked": None, "since": 0}
             )
             if _os.environ.get("GPTPU_FORCE_DEVICE_SCAN"):
                 mode = "device"
             elif ab["locked"]:
-                mode = ab["locked"]
+                ab["since"] += 1
+                if ab["since"] % _AB_REPROBE == 0:
+                    # periodic re-probe of the unlocked arm: the sample it
+                    # records below lets the lock flip if conditions changed
+                    mode = "host" if ab["locked"] == "device" else "device"
+                else:
+                    mode = ab["locked"]
             elif total < (1 << 20):
                 # sub-MB batches never record samples (too noisy to measure)
                 # and a host scan costs <30 ms — don't spend a device round
@@ -502,22 +513,24 @@ class NtEditTPU:
                 mode = "host"
             elif len(ab["device"]) < 2:
                 mode = "device"
-            elif not ab["host"]:
-                mode = "host"
             else:
-                # best-of each side (this box's neighbor noise swings 2x)
-                ab["locked"] = (
-                    "device" if max(ab["device"]) >= max(ab["host"])
-                    else "host"
-                )
-                mode = ab["locked"]
+                mode = "host"
             t0 = _time.monotonic()
             if mode == "device":
                 res = self._polish_many_pipelined(seqs, processes, shard_bases)
             else:
                 res = self._polish_many_std(seqs, processes, shard_bases)
-            if ab["locked"] is None and total >= (1 << 20):
-                ab[mode].append(total / max(_time.monotonic() - t0, 1e-9))
+            if total >= (1 << 20):
+                samples = ab[mode]
+                samples.append(total / max(_time.monotonic() - t0, 1e-9))
+                del samples[:-_AB_KEEP]
+                if ab["device"] and ab["host"]:
+                    # best-of the freshest samples decides (this box's
+                    # neighbor noise swings 2x between identical runs)
+                    ab["locked"] = (
+                        "device" if max(ab["device"]) >= max(ab["host"])
+                        else "host"
+                    )
             return res
         return self._polish_many_std(seqs, processes, shard_bases)
 

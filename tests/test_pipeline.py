@@ -205,3 +205,28 @@ time.sleep(30)
     while os.path.isdir(ws_dir) and time.time() < deadline:
         time.sleep(0.05)
     assert not os.path.isdir(ws_dir)
+
+
+def test_bulk_pipeline_lookahead_fill_identical(tmp_path):
+    """The lookahead Bloom fill (batch N+1 fills while batch N polishes,
+    reference goldpolish_targeted_bfs.cpp:177-238 concurrency) changes WHEN
+    filters build, never what they contain: output is byte-identical to the
+    inline fill and the fill time books off the critical path."""
+    draft, reads, paf, _truths = _write_synthetic(tmp_path)
+    out_la = str(tmp_path / "la.fa")
+    out_inline = str(tmp_path / "inline.fa")
+    common = dict(
+        seqs_to_polish=draft, polishing_seqs=reads,
+        k_values=[32, 28], batch_size=1, mappings_path=paf,
+        workspace=str(tmp_path), max_concurrent_batches=2,
+    )
+    totals = bulk.run_bulk(
+        PipelineConfig(output_seqs=out_la, lookahead_fill=True, **common)
+    )
+    assert totals["timing"].get("bf_fill_bg_s", 0) > 0  # fills ran off-path
+    assert totals["timing"].get("bf_build_s", 1.0) < 0.05  # nothing inline
+    bulk.run_bulk(
+        PipelineConfig(output_seqs=out_inline, lookahead_fill=False, **common)
+    )
+    with open(out_la, "rb") as a, open(out_inline, "rb") as b:
+        assert a.read() == b.read()
