@@ -1,29 +1,36 @@
 """Headline benchmark: polished bases/sec/chip through the ntEdit engine.
 
-Scenario (mirrors the reference's hot path on its bundled test shape):
-a synthetic multi-contig draft with ~0.25% mixed errors is polished against
-a Bloom filter built from simulated reads of the truth genome — the ntEdit
-detect+fix scan that dominates GoldPolish runtime.  Three configurations are
-measured on the same inputs:
+Scenario (mirrors the reference's per-batch pipeline shape): a synthetic
+draft with ~0.25% mixed errors, split into BATCHES of contigs, each batch
+with its own right-sized multi-k Bloom filters built from simulated reads
+of the truth genome (the reference's per-batch targeted filters,
+src/goldpolish_targeted_bfs.cpp) — then the k32->k28 ntEdit editing chain.
+Arms measured on the same inputs, reps interleaved (this box's neighbor
+noise swings 2x between identical runs):
 
-  * baseline_1t — ONE host thread running the faithful reference algorithm
-    (native walker + host dense scan, the same semantics as the reference's
-    ntedit-gr per-thread loop).  This replaces round 1's guessed CPU figure:
-    vs_baseline is now measured-vs-measured.
-  * host-only — all host cores (fork pool), host dense scan.
-  * device — the production hybrid path: fused MXU conv-hash + Bloom-probe
-    scans run on the TPU through the lookahead pipeline (polish/scanpipe)
-    while the host cores walk; adaptive placement may demote to host if the
-    chip link loses (reported as scan=host).
+  * baseline_1t    — ONE host thread, the faithful reference algorithm
+                     (native walker + host dense scan) on batch 0.
+  * host_all       — all host cores (fork pool), host dense scan.
+  * adaptive       — the production hybrid path: fused MXU conv-hash +
+                     Bloom-probe scans on the TPU through the lookahead
+                     pipeline (polish/scanpipe) while the host cores walk;
+                     per-k A/B placement with periodic re-probe.
+  * forced_device  — same engines with GPTPU_FORCE_DEVICE_SCAN=1 (no
+                     placement demotion; the pure device-arm number).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} where value
-is the production configuration's polished bases/s/chip and vs_baseline is
-value / baseline_1t.  stderr carries the full breakdown, including the
-whole-pipeline rate (BF build + polish) and exact-recovery status.
+Also measured: host vs device Bloom-filter fill (bf_builder.device_fill_bfs
+A/B), and a production-shaped PIPELINE stream — batch N+1's filters fill
+(winning placement) while batch N polishes (adaptive engines), engine
+construction and uploads included — reported as pipeline_rate.
+
+Prints ONE JSON line with {"metric", "value", "unit", "vs_baseline"} plus
+parsed fields: arms{}, locks{}, fill{}, pipeline_rate, recovered.  value is
+the production configuration's polished bases/s/chip.
 
 Env knobs: GPTPU_BENCH_BASES (default 8M), GPTPU_BENCH_CONTIGS (default 8),
-GPTPU_BENCH_PROCS (default cpu count), GPTPU_BENCH_BACKEND (numpy forces
-host-only), GPTPU_PROFILE (jax profiler trace dir).
+GPTPU_BENCH_BATCHES (default 4), GPTPU_BENCH_PROCS (default cpu count),
+GPTPU_BENCH_BACKEND (numpy forces host-only), GPTPU_PROFILE (jax profiler
+trace dir).
 """
 
 import json
@@ -37,13 +44,120 @@ import numpy as np  # noqa: E402
 
 K, H = 32, 4
 K_VALUES = [32, 28]  # the bench's multi-k editing chain (pipeline uses 4 k's)
+READ_THRESHOLD = 5
 
 
-def build_scenario(n_bases: int, n_contigs: int, seed: int = 0):
-    """Truth contigs, reads->per-k BFs (native stream fill), mutated drafts."""
-    from goldpolish_tpu import bf_builder, native
-    from goldpolish_tpu.ops import bloom
+def _reads_for(truth: bytes) -> list[bytes]:
+    """20 kb fragments, 5 staggered coverage passes (stagger offsets so
+    boundary k-mers clear the counting threshold; extra head reads keep
+    contig heads covered)."""
+    frag = 20_000
+    reads: list[bytes] = []
+    for rep in range(5):
+        off = rep * (frag // 5)
+        reads.append(truth[: frag + K])
+        for s in range(off, len(truth), frag):
+            reads.append(truth[s : s + frag + K])
+    return reads
 
+
+def _mutate(truth: bytes, err_spacing: int = 400) -> tuple[bytes, int]:
+    """~0.25% mixed errors, kept >= 2k from contig ends (the reference
+    editor legitimately cannot fix a window that lacks k flanking bases).
+    Indels avoid homopolymer context: the reference algorithm (and the
+    parity-pinned oracle) leaves run-extending indels unfixed — a known
+    ntEdit limitation, not an engine property this bench should measure."""
+    positions = np.arange(2 * K, len(truth) - 2 * K, err_spacing)
+    segments = []
+    prev = 0
+    for i, p in enumerate(positions):
+        kind = i % 3
+        if kind == 1:  # deletion: skip run-adjacent sites
+            q = int(p)
+            while q < p + 32 and (
+                truth[q] == truth[q - 1] or truth[q] == truth[q + 1]
+            ):
+                q += 1
+            p = q
+        segments.append(truth[prev:p])
+        base = truth[p : p + 1]
+        if kind == 0:  # substitution
+            segments.append(b"A" if base != b"A" else b"G")
+            prev = p + 1
+        elif kind == 1:  # deletion from draft
+            prev = p + 1
+        else:  # insertion into draft: char differs from both neighbors
+            ins = next(
+                c for c in (b"T", b"G", b"C", b"A")
+                if c != truth[p - 1 : p] and c != base
+            )
+            segments.append(ins + base)
+            prev = p + 1
+    segments.append(truth[prev:])
+    return b"".join(segments), len(positions)
+
+
+class Batch:
+    """One scenario batch: truths, drafts, reads, and host-filled filters."""
+
+    def __init__(self, truths: list[bytes]):
+        from goldpolish_tpu.ops import bloom
+
+        self.truths = truths
+        self.drafts = []
+        self.n_err = 0
+        for t in truths:
+            d, n = _mutate(t)
+            self.drafts.append(d)
+            self.n_err += n
+        self.reads: list[bytes] = []
+        for t in truths:
+            self.reads.extend(_reads_for(t))
+        self.read_bases = sum(len(r) for r in self.reads)
+        # right-sized per-batch filter: ~16 bits per expected distinct k-mer
+        # (the reference's fixed 512 KiB saturates >300 kbp and blinds the
+        # editor); power of two for the fast masked probe
+        total = sum(len(t) for t in truths)
+        self.bf_bytes = bloom.DEFAULT_BF_BYTES
+        while self.bf_bytes < total * 2:
+            self.bf_bytes *= 2
+        self.bfs: list = []
+
+    def fill_host(self) -> float:
+        """Native stream fill (the exactness anchor); returns seconds."""
+        from goldpolish_tpu import native
+        from goldpolish_tpu.ops import bloom
+
+        cbfs = [
+            bloom.CountingBloomFilter8(bloom.DEFAULT_CBF_BYTES, H, k)
+            for k in K_VALUES
+        ]
+        bfs = [bloom.BloomFilter(self.bf_bytes, H, k) for k in K_VALUES]
+        t0 = time.time()
+        native.fill_bfs_stream(
+            self.reads, [READ_THRESHOLD] * len(self.reads), H, K_VALUES,
+            cbfs, bfs,
+        )
+        dt = time.time() - t0
+        self.bfs = bfs
+        return dt
+
+    def fill_device(self) -> float:
+        """Device scatter fill (documented superset); returns seconds."""
+        from goldpolish_tpu import bf_builder
+        from goldpolish_tpu.ops import bloom
+
+        t0 = time.time()
+        bfs = bf_builder.device_fill_bfs(
+            {READ_THRESHOLD: self.reads}, K_VALUES, H,
+            bloom.DEFAULT_CBF_BYTES, self.bf_bytes,
+        )
+        dt = time.time() - t0
+        self.bfs = bfs
+        return dt
+
+
+def build_scenario(n_bases: int, n_contigs: int, n_batches: int, seed: int = 0):
     rng = np.random.default_rng(seed)
     truth = np.frombuffer(b"ACGT", np.uint8)[
         rng.integers(0, 4, n_bases)
@@ -52,99 +166,62 @@ def build_scenario(n_bases: int, n_contigs: int, seed: int = 0):
     truths = [truth[i : i + step] for i in range(0, n_bases, step)]
     if len(truths) > 1 and len(truths[-1]) < 4 * K:
         truths[-2] += truths.pop()
+    per = max(1, len(truths) // n_batches)
+    return [Batch(truths[i : i + per]) for i in range(0, len(truths), per)]
 
-    # size the filter for ~n distinct k-mers: 16 bits/kmer at h=4 keeps the
-    # false-positive rate ~0.25% (the reference's fixed 512 KiB overloads
-    # beyond ~300 kbp and the editor goes blind); power of two for the fast
-    # masked probe path
-    bf_bytes = bloom.DEFAULT_BF_BYTES
-    while bf_bytes < n_bases * 2:  # 2 bytes = 16 bits per expected k-mer
-        bf_bytes *= 2
-    bfs = [bloom.BloomFilter(bf_bytes, H, k) for k in K_VALUES]
-    cbfs = [
-        bloom.CountingBloomFilter8(bloom.DEFAULT_CBF_BYTES, H, k)
-        for k in K_VALUES
+
+def build_scenario_flat(n_bases: int, n_contigs: int, seed: int = 0):
+    """Single-batch compat wrapper for the profiling tools (tools/
+    walk_micro, walk_profile, site_cost_profile): returns
+    (truths, drafts, bf_by_k, n_err, fill_s, read_bases) with the filters
+    host-filled."""
+    (b,) = build_scenario(n_bases, n_contigs, 1, seed)
+    fill_s = b.fill_host()
+    bf_by_k = dict(zip(K_VALUES, b.bfs))
+    return b.truths, b.drafts, bf_by_k, b.n_err, fill_s, b.read_bases
+
+
+def engines_for(batches, backend: str):
+    from goldpolish_tpu.polish.multik import ntedit_config_for_k
+    from goldpolish_tpu.polish.ntedit_tpu import NtEditTPU
+
+    return [
+        [
+            NtEditTPU(ntedit_config_for_k(k), b.bfs[ki], backend=backend)
+            for ki, k in enumerate(K_VALUES)
+        ]
+        for b in batches
     ]
-    # reads: 20 kb fragments, 5 staggered coverage passes (stagger offsets
-    # so boundary k-mers clear the counting threshold; extra head reads
-    # keep contig heads covered), per-contig so no read spans a boundary
-    frag = 20_000
-    reads: list[bytes] = []
-    for t in truths:
-        for rep in range(5):
-            off = rep * (frag // 5)
-            reads.append(t[: frag + K])  # head coverage every pass
-            for s in range(off, len(t), frag):
-                reads.append(t[s : s + frag + K])
-    t0 = time.time()
-    native.fill_bfs_stream(reads, [5] * len(reads), H, K_VALUES, cbfs, bfs)
-    bf_build_s = time.time() - t0
-    read_bases = sum(len(r) for r in reads)
-    batch_bfs = bf_builder.BatchBFs(list(K_VALUES), cbfs, bfs)
-
-    # mutate each contig: ~0.25% mixed errors, kept >= 2k from contig ends
-    # (the reference editor legitimately cannot fix a window that lacks k
-    # flanking bases — errors at synthetic cut points are a fixture bug,
-    # not an engine gap).  Indels avoid homopolymer context: the reference
-    # algorithm (and therefore the parity-pinned oracle) leaves
-    # run-extending/shrinking indels unfixed — a known ntEdit limitation,
-    # not an engine property this bench should measure.
-    err_spacing = 400
-    n_err = 0
-    drafts = []
-    for t in truths:
-        positions = np.arange(2 * K, len(t) - 2 * K, err_spacing)
-        segments = []
-        prev = 0
-        for i, p in enumerate(positions):
-            kind = i % 3
-            if kind == 1:  # deletion: skip run-adjacent sites
-                q = int(p)
-                while q < p + 32 and (
-                    t[q] == t[q - 1] or t[q] == t[q + 1]
-                ):
-                    q += 1
-                p = q
-            segments.append(t[prev:p])
-            base = t[p : p + 1]
-            if kind == 0:  # substitution
-                segments.append(b"A" if base != b"A" else b"G")
-                prev = p + 1
-            elif kind == 1:  # deletion from draft
-                prev = p + 1
-            else:  # insertion into draft: char differs from both neighbors
-                ins = next(
-                    c for c in (b"T", b"G", b"C", b"A")
-                    if c != t[p - 1 : p] and c != base
-                )
-                segments.append(ins + base)
-                prev = p + 1
-        segments.append(t[prev:])
-        drafts.append(b"".join(segments))
-        n_err += len(positions)
-    return truths, drafts, batch_bfs, n_err, bf_build_s, read_bases
 
 
-def _chain_fn(engines, drafts, procs):
-    """One multi-k editing chain pass (each k's output feeds the next —
-    reference scripts/goldpolish-ntedit:20-29)."""
+def _chain_fn(engines_by_batch, batches, procs, force_device=False):
+    """One multi-k editing chain pass over all batches (each k's output
+    feeds the next — reference scripts/goldpolish-ntedit:20-29)."""
 
     def chain():
-        cur = drafts
-        stats = [0, 0, 0]
-        for eng in engines:
-            results = eng.polish_many(cur, processes=procs)
-            cur = [out for out, _r, _e in results]
-            stats[0] += sum(e.n_subs for _o, _r, e in results)
-            stats[1] += sum(e.n_ins for _o, _r, e in results)
-            stats[2] += sum(e.n_dels for _o, _r, e in results)
-        return cur, stats
+        if force_device:
+            os.environ["GPTPU_FORCE_DEVICE_SCAN"] = "1"
+        try:
+            outs = []
+            stats = [0, 0, 0]
+            for engines, b in zip(engines_by_batch, batches):
+                cur = b.drafts
+                for eng in engines:
+                    results = eng.polish_many(cur, processes=procs)
+                    cur = [out for out, _r, _e in results]
+                    stats[0] += sum(e.n_subs for _o, _r, e in results)
+                    stats[1] += sum(e.n_ins for _o, _r, e in results)
+                    stats[2] += sum(e.n_dels for _o, _r, e in results)
+                outs.extend(cur)
+            return outs, stats
+        finally:
+            if force_device:
+                os.environ.pop("GPTPU_FORCE_DEVICE_SCAN", None)
 
     return chain
 
 
-def _timed_chain(engines, drafts, procs, reps=3):
-    chain = _chain_fn(engines, drafts, procs)
+def _timed_chain(chain, reps=3):
     chain()  # warmup (compiles, pools)
     dt = float("inf")
     out = None
@@ -157,9 +234,7 @@ def _timed_chain(engines, drafts, procs, reps=3):
 
 def _timed_interleaved(chains: dict, reps: int = 5):
     """min-of-reps for several configs with the reps INTERLEAVED in time —
-    this box's neighbor noise swings 2x between identical runs, so arms
-    timed in separate windows are incomparable; interleaving samples the
-    same noise for every arm."""
+    arms timed in separate windows are incomparable on this box."""
     outs = {}
     best = {name: float("inf") for name in chains}
     for name, c in chains.items():  # warmups (compiles, pools)
@@ -172,10 +247,29 @@ def _timed_interleaved(chains: dict, reps: int = 5):
     return best, outs
 
 
-def main():
-    from goldpolish_tpu.polish.multik import ntedit_config_for_k
-    from goldpolish_tpu.polish.ntedit_tpu import NtEditTPU
+def _pipeline_stream(batches, procs, fill: str, backend: str) -> float:
+    """Production-shaped stream: batch N+1's filters fill on a background
+    thread (host-native or device scatter, per the fill A/B) while batch N
+    polishes through freshly built engines (uploads included).  Returns
+    wall seconds from first fill start to last polish end."""
+    import concurrent.futures as cf
 
+    fill_fn = Batch.fill_device if fill == "device" else Batch.fill_host
+    t0 = time.time()
+    with cf.ThreadPoolExecutor(max_workers=1) as ex:
+        futs = {0: ex.submit(fill_fn, batches[0])}
+        for i, b in enumerate(batches):
+            if i + 1 < len(batches):
+                futs[i + 1] = ex.submit(fill_fn, batches[i + 1])
+            futs.pop(i).result()
+            engines = engines_for([b], backend)[0]
+            cur = b.drafts
+            for eng in engines:
+                cur = [o for o, _r, _e in eng.polish_many(cur, processes=procs)]
+    return time.time() - t0
+
+
+def main():
     t_start = time.time()
 
     def mark(msg):
@@ -194,40 +288,68 @@ def main():
         backend = backend or ("hybrid" if on_accel else "numpy")
     n_bases = int(os.environ.get("GPTPU_BENCH_BASES", 8_000_000))
     n_contigs = max(1, int(os.environ.get("GPTPU_BENCH_CONTIGS", 8)))
+    n_batches = max(1, int(os.environ.get("GPTPU_BENCH_BATCHES", 4)))
     procs = int(os.environ.get("GPTPU_BENCH_PROCS", os.cpu_count() or 1))
 
-    truths, drafts, batch_bfs, n_err, bf_build_s, read_bases = build_scenario(
-        n_bases, n_contigs
-    )
+    batches = build_scenario(n_bases, n_contigs, n_batches)
+    total = sum(len(d) for b in batches for d in b.drafts)
+    n_err = sum(b.n_err for b in batches)
+    read_bases = sum(b.read_bases for b in batches)
     mark("scenario built")
-    total = sum(len(d) for d in drafts)
 
-    def engines_for(bk):
-        return [
-            NtEditTPU(ntedit_config_for_k(k), batch_bfs.bf_for_k(k), backend=bk)
-            for k in K_VALUES
-        ]
+    # host fill (the exactness anchor; these filters feed the arms)
+    fill_host_s = sum(b.fill_host() for b in batches)
+    host_bf_words = [np.frombuffer(bf.array, np.uint8).copy()
+                     for bf in batches[0].bfs]
+    mark(f"host fill done ({fill_host_s:.2f}s)")
 
     # measured reference baseline: ONE thread, host scan + native walk (the
-    # reference algorithm at native speed) on a ~2 Mbp prefix
-    base_drafts = drafts[: max(1, len(drafts) // 4)]
-    host_engines = engines_for("numpy")
-    t_1t, _ = _timed_chain(host_engines, base_drafts, procs=1)
-    rate_1t = sum(len(d) for d in base_drafts) / t_1t
+    # reference algorithm at native speed) on batch 0
+    host_engines = engines_for(batches, "numpy")
+    base_chain = _chain_fn(host_engines[:1], batches[:1], procs=1)
+    t_1t, _ = _timed_chain(base_chain)
+    base_bases = sum(len(d) for d in batches[0].drafts)
+    rate_1t = base_bases / t_1t
     mark("baseline_1t done")
 
-    # the two placement arms, reps interleaved (see _timed_interleaved):
-    # "host" = host-only engines; "adaptive" = production hybrid engines
-    # whose per-k A/B placement is first driven to a lock by untimed
-    # calibration passes (each k's scan lands wherever it measured faster —
-    # the clean late-k pass typically locks host, the error-dense first k
-    # the device), then timed in its locked configuration.
+    fill = {"host_s": round(fill_host_s, 2)}
+    arms = {"baseline_1t": round(rate_1t, 1)}
     scan = "host"
     scan_detail = ""
+    locks: dict = {}
+    pipeline_rate = None
+    host_chain = _chain_fn(host_engines, batches, procs)
     if backend != "numpy":
-        dev_engines = engines_for(backend)
-        mark("hybrid engines built (placement probes done)")
-        calibrate = _chain_fn(dev_engines, drafts, procs)
+        # device fill A/B (first batch bears XLA compiles; time batch 1+)
+        dev_fill_ok = True
+        try:
+            t_first = batches[0].fill_device()
+            dev_bits_super = all(
+                int(np.bitwise_and(
+                    hw, ~np.frombuffer(bf.array, np.uint8)
+                ).sum()) == 0
+                for hw, bf in zip(host_bf_words, batches[0].bfs)
+            )
+            fill_dev = [b.fill_device() for b in batches[1:]] or [t_first]
+            fill_device_s = sum(fill_dev) * len(batches) / max(len(fill_dev), 1)
+            fill["device_s"] = round(fill_device_s, 2)
+            fill["device_first_s"] = round(t_first, 2)
+            fill["device_superset_of_host"] = bool(dev_bits_super)
+        except Exception as e:  # noqa: BLE001
+            dev_fill_ok = False
+            fill["device_error"] = str(e)[:120]
+            fill_device_s = float("inf")
+        # restore the host-filled filters: arms A/B the SCAN, not the fill
+        for b in batches:
+            b.fill_host()
+        mark("device fill A/B done")
+        fill["placement"] = (
+            "device" if dev_fill_ok and fill_device_s < fill_host_s else "host"
+        )
+
+        dev_engines = engines_for(batches, backend)
+        mark("hybrid engines built")
+        calibrate = _chain_fn(dev_engines, batches, procs)
         for _ in range(4):  # A/B needs 2 device + 1 host samples, + lock
             calibrate()
             mark("calibration pass")
@@ -235,8 +357,10 @@ def main():
         if profile_dir:
             jax.profiler.start_trace(profile_dir)
         best, outs_map = _timed_interleaved({
-            "host": _chain_fn(host_engines, drafts, procs),
+            "host": host_chain,
             "adaptive": calibrate,
+            "forced_device": _chain_fn(dev_engines, batches, procs,
+                                       force_device=True),
         })
         if profile_dir:
             jax.profiler.stop_trace()
@@ -244,30 +368,37 @@ def main():
         mark("interleaved timing done")
         rate_host = total / best["host"]
         rate_dev = total / best["adaptive"]
-        # which k's locked the device? (an A/B "host" lock keeps the
-        # scanner object around — read the placement table, not the engine)
+        arms["host_all"] = round(rate_host, 1)
+        arms["adaptive"] = round(rate_dev, 1)
+        arms["forced_device"] = round(total / best["forced_device"], 1)
         from goldpolish_tpu.polish import ntedit_tpu as _nt
 
         locks = {
-            k_: ab.get("locked") or "device"
+            f"k{k_}": ab.get("locked") or "device"
             for (k_, _h, _p), ab in _nt._AB_RUNS.items()
         }
         scan = "device" if any(v == "device" for v in locks.values()) else "host"
-        scan_detail = ",".join(f"k{k_}={v}" for k_, v in sorted(locks.items()))
+        scan_detail = ",".join(f"{k_}={v}" for k_, v in sorted(locks.items()))
         chain_out = outs_map["adaptive" if rate_dev >= rate_host else "host"]
+
+        # production-shaped pipeline stream (fills overlapped, winning fill)
+        t_pipe = _pipeline_stream(batches, procs, fill["placement"], backend)
+        pipeline_rate = total / t_pipe
+        mark(f"pipeline stream done ({t_pipe:.2f}s, fill={fill['placement']})")
     else:
-        t_host, chain_out = _timed_chain(host_engines, drafts, procs=procs)
+        t_host, chain_out = _timed_chain(host_chain)
         rate_host = total / t_host
         rate_dev = rate_host
+        arms["host_all"] = round(rate_host, 1)
+        t_pipe = _pipeline_stream(batches, procs, "host", "numpy")
+        pipeline_rate = total / t_pipe
     outs, chain_stats = chain_out
 
     headline = rate_dev if scan != "host" else rate_host
-    polish_s = total / headline
-    pipeline_rate = total / (bf_build_s + polish_s)
 
     # exact recovery (mask=1 lowercases unfixable sites; the pipeline's
     # final to-upper stage case-folds, so compare case-folded)
-    truth_all = b"".join(truths)
+    truth_all = b"".join(t for b in batches for t in b.truths)
     out_u = b"".join(outs).upper()
     n_subs, n_ins, n_dels = chain_stats
     recovered = out_u == truth_all
@@ -283,17 +414,24 @@ def main():
         "value": round(headline, 1),
         "unit": "bases/s/chip",
         "vs_baseline": round(headline / rate_1t, 3),
+        "arms": arms,
+        "locks": locks,
+        "fill": fill,
+        "pipeline_rate": round(pipeline_rate, 1) if pipeline_rate else None,
+        "recovered": recovered,
+        "scan": scan,
     }
     print(json.dumps(result))
     print(
         f"# platform={platform} backend={backend} scan={scan}"
         f"{'(' + scan_detail + ')' if scan_detail else ''} "
-        f"n={total} contigs={len(drafts)} procs={procs} errors={n_err} "
-        f"fixed: s{n_subs} i{n_ins} d{n_dels} "
+        f"n={total} contigs={n_contigs} batches={len(batches)} procs={procs} "
+        f"errors={n_err} fixed: s{n_subs} i{n_ins} d{n_dels} "
         f"recovered={recovered} residual~{residual} | "
-        f"baseline_1t={rate_1t/1e6:.2f} Mbp/s host_all={rate_host/1e6:.2f} "
-        f"device={rate_dev/1e6:.2f} | bf_build_s={bf_build_s:.2f} "
-        f"({read_bases/1e6:.0f} Mb reads) "
+        f"arms(Mbp/s): 1t={rate_1t/1e6:.2f} host={rate_host/1e6:.2f} "
+        f"adaptive={rate_dev/1e6:.2f} "
+        f"forced={arms.get('forced_device', 0)/1e6:.2f} | "
+        f"fill={fill} ({read_bases/1e6:.0f} Mb reads) "
         f"pipeline={pipeline_rate/1e6:.2f} Mbp/s",
         file=sys.stderr,
     )

@@ -175,105 +175,119 @@ class BFBuilder:
                            chunk_elems: int = 32_000_000) -> BatchBFs:
         """Fast-mode device BF build (SURVEY §7.2: hash->scatter).
 
-        Two device passes per k over the chosen reads: (1) scatter-add all
-        k-mer occurrences into an int32 counter array, (2) promote k-mers
-        whose min counter reaches the per-k escalating threshold into the
-        bit array.  DEVIATION from the host/native fill (documented, like
-        autoscale_bf): scatter-add counts upper-bound conservative-update
-        counts and promotion ignores occurrence order, so the resulting
-        filter is a slight SUPERSET of the reference fill's (every
-        host-promoted k-mer is device-promoted; a few extra k-mers near
-        the threshold may join).  Use on co-located chips where fill
-        bandwidth beats the host; the host path stays the exactness
-        anchor.  Reads are hashed in padded [B, L] buckets of at most
-        chunk_elems window-hash elements per pass.  Each read promotes
-        with ITS TARGET's adaptive threshold (reads grouped by threshold;
-        one promotion sweep per distinct value — usually one), matching
-        the host fill's per-target semantics.  Hashing uses the MXU conv
-        formulation (ops/scan_conv).
+        DEVIATION from the host/native fill (documented, like autoscale_bf):
+        scatter-add counts upper-bound conservative-update counts and
+        promotion ignores occurrence order, so the resulting filter is a
+        slight SUPERSET of the reference fill's (every host-promoted k-mer
+        is device-promoted; a few extra k-mers near the threshold may
+        join — drift quantified in tests/test_bf_builder_device.py).  Use
+        on co-located chips where fill bandwidth beats the host; the host
+        path stays the exactness anchor.  Each read promotes with ITS
+        TARGET's adaptive threshold, matching the host fill's per-target
+        semantics (shared _choose_reads — read sets cannot desynchronize).
         """
-        import jax
-        import jax.numpy as jnp
-
-        from .ops import bloom_jax, nthash_jax, scan_conv
-
-        h = self.hash_num
-        cbf_size = self.cbf_bytes  # one int32 counter per reference counter
-
-        def count_chunk(counters, codes, lens, k: int):
-            base = scan_conv.canonical_hashes_conv(codes, k)  # [B, nw]
-            hashes = nthash_jax.multi_hashes(base, k, h)  # [B, nw, h]
-            nw = base.shape[-1]
-            valid = jnp.arange(nw)[None, :] <= (lens[:, None] - k)
-            idx = (hashes.reshape(-1) % jnp.uint64(cbf_size)).astype(jnp.int32)
-            idx = jnp.where(jnp.repeat(valid.reshape(-1), h), idx, cbf_size)
-            return counters.at[idx].add(1, mode="drop")
-
-        def promote_chunk(words, counters, codes, lens, k: int, thresh: int,
-                          bits: int):
-            base = scan_conv.canonical_hashes_conv(codes, k)
-            hashes = nthash_jax.multi_hashes(base, k, h)
-            nw = base.shape[-1]
-            valid = jnp.arange(nw)[None, :] <= (lens[:, None] - k)
-            cidx = (hashes % jnp.uint64(cbf_size)).astype(jnp.int32)
-            counts = counters[cidx].min(axis=-1)
-            promote = valid & (counts >= thresh)
-            return words | bloom_jax.build_words(
-                bits, hashes.reshape(-1, h), mask=promote.reshape(-1)
-            )
-
-        count_jit = jax.jit(count_chunk, static_argnums=(3,))
-        promote_jit = jax.jit(promote_chunk, static_argnums=(4, 5, 6))
-
         bf_bytes = self._batch_bf_bytes(target_ids)
-        bits = bf_bytes * 8
-
-        # chosen reads grouped by their target's adaptive threshold
-        # (shared _choose_reads logic — read sets cannot desynchronize)
         by_thresh: dict[int, list[bytes]] = {}
         for _tid, chosen, kmer_threshold in self._choose_reads(target_ids):
             by_thresh.setdefault(kmer_threshold, []).extend(
                 self.mapped_index.get_seq(r) for r in chosen
             )
-
-        def make_chunks(reads: list[bytes]) -> list[tuple]:
-            # pad + upload once (sorted by length so buckets pad to their
-            # own max, not the global one); reused by both passes, every k
-            reads = sorted(reads, key=len)
-            out: list[tuple] = []
-            i = 0
-            while i < len(reads):
-                L = max(64, 1 << (len(reads[i]) - 1).bit_length())
-                B = max(1, chunk_elems // (L * h))
-                j = i
-                grp = []
-                while j < len(reads) and len(grp) < B and len(reads[j]) <= L:
-                    grp.append(reads[j])
-                    j += 1
-                codes = np.zeros((len(grp), L), np.uint8)
-                lens = np.zeros(len(grp), np.int32)
-                for r, rd in enumerate(grp):
-                    codes[r, : len(rd)] = np.frombuffer(rd, np.uint8)
-                    lens[r] = len(rd)
-                out.append((jnp.asarray(codes), jnp.asarray(lens)))
-                i = j
-            return out
-
-        groups = [
-            (thr, make_chunks(reads)) for thr, reads in sorted(by_thresh.items())
-        ]
-        bfs = []
-        for ki, k in enumerate(self.k_values):
-            counters = jnp.zeros(cbf_size, jnp.int32)
-            for _thr, chunks in groups:
-                for codes, lens in chunks:
-                    counters = count_jit(counters, codes, lens, k)
-            words = jnp.zeros(bits // 32, jnp.uint32)
-            for thr, chunks in groups:
-                eff = thr - 2 + ki
-                for codes, lens in chunks:
-                    words = promote_jit(words, counters, codes, lens, k, eff, bits)
-            bf = bloom.BloomFilter(bf_bytes, h, k)
-            bf.array[:] = np.asarray(words).view(np.uint8)
-            bfs.append(bf)
+        bfs = device_fill_bfs(
+            by_thresh, self.k_values, self.hash_num, self.cbf_bytes,
+            bf_bytes, chunk_elems=chunk_elems,
+        )
         return BatchBFs(self.k_values, [], bfs)
+
+
+def device_fill_bfs(reads_by_thresh: dict[int, list[bytes]],
+                    k_values: list[int], hash_num: int, cbf_bytes: int,
+                    bf_bytes: int, chunk_elems: int = 32_000_000
+                    ) -> list[bloom.BloomFilter]:
+    """Device Bloom-filter fill core (used by BFBuilder.build_batch_device
+    and benchmarked standalone by bench.py's fill A/B).
+
+    Two device passes per k over the reads: (1) scatter-add all k-mer
+    occurrences into an int32 counter array, (2) promote k-mers whose min
+    counter reaches the per-k escalating threshold into the bit array.
+    Reads are hashed in padded [B, L] buckets of at most chunk_elems
+    window-hash elements per pass; buckets upload once and are reused by
+    both passes for every k.  Hashing uses the MXU conv formulation
+    (ops/scan_conv).  See build_batch_device for the (documented) superset
+    deviation vs the host fill.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from .ops import bloom_jax, nthash_jax, scan_conv
+
+    h = hash_num
+    cbf_size = cbf_bytes  # one int32 counter per reference counter
+
+    def count_chunk(counters, codes, lens, k: int):
+        base = scan_conv.canonical_hashes_conv(codes, k)  # [B, nw]
+        hashes = nthash_jax.multi_hashes(base, k, h)  # [B, nw, h]
+        nw = base.shape[-1]
+        valid = jnp.arange(nw)[None, :] <= (lens[:, None] - k)
+        idx = (hashes.reshape(-1) % jnp.uint64(cbf_size)).astype(jnp.int32)
+        idx = jnp.where(jnp.repeat(valid.reshape(-1), h), idx, cbf_size)
+        return counters.at[idx].add(1, mode="drop")
+
+    def promote_chunk(words, counters, codes, lens, k: int, thresh: int,
+                      bits: int):
+        base = scan_conv.canonical_hashes_conv(codes, k)
+        hashes = nthash_jax.multi_hashes(base, k, h)
+        nw = base.shape[-1]
+        valid = jnp.arange(nw)[None, :] <= (lens[:, None] - k)
+        cidx = (hashes % jnp.uint64(cbf_size)).astype(jnp.int32)
+        counts = counters[cidx].min(axis=-1)
+        promote = valid & (counts >= thresh)
+        return words | bloom_jax.build_words(
+            bits, hashes.reshape(-1, h), mask=promote.reshape(-1)
+        )
+
+    count_jit = jax.jit(count_chunk, static_argnums=(3,))
+    promote_jit = jax.jit(promote_chunk, static_argnums=(4, 5, 6))
+    bits = bf_bytes * 8
+
+    def make_chunks(reads: list[bytes]) -> list[tuple]:
+        # pad + upload once (sorted by length so buckets pad to their
+        # own max, not the global one); reused by both passes, every k
+        reads = sorted(reads, key=len)
+        out: list[tuple] = []
+        i = 0
+        while i < len(reads):
+            L = max(64, 1 << (len(reads[i]) - 1).bit_length())
+            B = max(1, chunk_elems // (L * h))
+            j = i
+            grp = []
+            while j < len(reads) and len(grp) < B and len(reads[j]) <= L:
+                grp.append(reads[j])
+                j += 1
+            codes = np.zeros((len(grp), L), np.uint8)
+            lens = np.zeros(len(grp), np.int32)
+            for r, rd in enumerate(grp):
+                codes[r, : len(rd)] = np.frombuffer(rd, np.uint8)
+                lens[r] = len(rd)
+            out.append((jnp.asarray(codes), jnp.asarray(lens)))
+            i = j
+        return out
+
+    groups = [
+        (thr, make_chunks(reads))
+        for thr, reads in sorted(reads_by_thresh.items())
+    ]
+    bfs = []
+    for ki, k in enumerate(k_values):
+        counters = jnp.zeros(cbf_size, jnp.int32)
+        for _thr, chunks in groups:
+            for codes, lens in chunks:
+                counters = count_jit(counters, codes, lens, k)
+        words = jnp.zeros(bits // 32, jnp.uint32)
+        for thr, chunks in groups:
+            eff = thr - 2 + ki
+            for codes, lens in chunks:
+                words = promote_jit(words, counters, codes, lens, k, eff, bits)
+        bf = bloom.BloomFilter(bf_bytes, h, k)
+        bf.array[:] = np.asarray(words).view(np.uint8)
+        bfs.append(bf)
+    return bfs

@@ -144,9 +144,9 @@ from goldpolish_tpu.config import PipelineConfig
 from goldpolish_tpu.pipeline import bulk
 import goldpolish_tpu.pipeline.bulk as B
 _orig = B.polish_batch_records
-def slow(records, builder, cfg):
+def slow(records, builder, cfg, batch_bfs=None):
     time.sleep(0.35)
-    return _orig(records, builder, cfg)
+    return _orig(records, builder, cfg, batch_bfs)
 B.polish_batch_records = slow
 cfg = PipelineConfig(
     seqs_to_polish={draft!r}, polishing_seqs={reads!r},

@@ -52,12 +52,12 @@ def mutate(truth: bytes, kind: str) -> tuple[bytes, int]:
 
 
 def main():
-    truths, _d, batch_bfs, _n, _s, _rb = bench.build_scenario(N, 1)
+    truths, _d, bf_by_k, _n, _s, _rb = bench.build_scenario_flat(N, 1)
     truth = truths[0]
     cfg = ntedit_config_for_k(K)
     print(f"cfg: mode={cfg.mode} max_ins={cfg.max_insertions} "
           f"max_del={cfg.max_deletions} jump={cfg.jump} mask={cfg.mask}")
-    bf = batch_bfs.bf_for_k(K)
+    bf = bf_by_k[K]
     tables = siteeval.make_tables(cfg.k, cfg.jump, cfg.max_insertions,
                                   cfg.max_deletions, snv=bool(cfg.snv))
     for kind in ("sub", "del", "ins", "none"):

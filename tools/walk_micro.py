@@ -34,12 +34,12 @@ def main():
 
     n_bases = int(os.environ["GPTPU_BENCH_BASES"])
     n_contigs = int(os.environ["GPTPU_BENCH_CONTIGS"])
-    truths, drafts, batch_bfs, n_err, bf_s, read_bases = bench.build_scenario(
+    truths, drafts, bf_by_k, n_err, bf_s, read_bases = bench.build_scenario_flat(
         n_bases, n_contigs
     )
     k = 32
     cfg = ntedit_config_for_k(k)
-    bf = batch_bfs.bf_for_k(k)
+    bf = bf_by_k[k]
     tables = siteeval.make_tables(cfg.k, cfg.jump, cfg.max_insertions,
                                   cfg.max_deletions)
     total = sum(len(d) for d in drafts)

@@ -33,12 +33,12 @@ def t_min(fn, reps=REPS):
 
 
 def main():
-    truths, drafts, batch_bfs, n_err, _s, _rb = bench.build_scenario(N, 4)
+    truths, drafts, bf_by_k, n_err, _s, _rb = bench.build_scenario_flat(N, 4)
     total = sum(len(d) for d in drafts)
     print(f"scenario: {total} bases, {len(drafts)} contigs, {n_err} errors")
     for k in bench.K_VALUES:
         cfg = ntedit_config_for_k(k)
-        bf = batch_bfs.bf_for_k(k)
+        bf = bf_by_k[k]
         tables = siteeval.make_tables(cfg.k, cfg.jump, cfg.max_insertions,
                                       cfg.max_deletions, snv=bool(cfg.snv))
         codes = [np.frombuffer(d, np.uint8) for d in drafts]
