@@ -220,9 +220,6 @@ class EditStats:
     n_masked: int
 
 
-# fork-pool state for polish_many(processes=N): COW-inherited by workers
-_PM_STATE: dict = {}
-
 # A/B placement samples for polish_many: {(k, h, probe): {"device": [rates],
 # "host": [rates], "locked": mode|None, "since": n}} — shared across engine
 # instances so per-batch engines (the production pipeline builds fresh ones
@@ -235,24 +232,49 @@ _AB_REPROBE = 10  # locked calls between fresh looks at the other arm
 _AB_KEEP = 4      # freshest samples per arm considered for the decision
 
 
-def _pm_worker(i: int):
-    eng = _PM_STATE.get("eng")
-    if eng is None:
-        eng = NtEditTPU(_PM_STATE["cfg"], _PM_STATE["bf"], backend="numpy")
-        _PM_STATE["eng"] = eng
-    _ci, _start, seq, pres = _PM_STATE["items"][i]
-    out, recs, ed = eng.polish_contig(seq, present=pres)
-    return out, recs, EditStats(ed.n_subs, ed.n_ins, ed.n_dels, ed.n_masked)
+# Persistent-pool worker caches: engines keyed by (bf share path, cfg blob).
+# Bounded FIFO — each (batch, k) generation makes one entry; old generations'
+# mmaps release once their engines drop (see utils/procs.attach_array).
+_WK_ENGINES: dict = {}
+_WK_ENGINES_CAP = 12
 
 
-def _pm_walk(seq: bytes, packed_present, nw: int):
-    """Fork-pool walk task for the pipelined path: cfg/BF ride COW via
-    _PM_STATE; the (device-computed) presence bits arrive bit-packed in the
-    task args."""
-    eng = _PM_STATE.get("eng")
+def _pm_task(cfg_blob: bytes, bf_ref: tuple, env_flags: dict,
+             seq: bytes, packed_present, nw: int):
+    """Persistent-pool walk task (utils/procs.get_pool): the config pickles
+    through the call pipe (tiny), the Bloom filter attaches from the shared
+    tmpfs buffer (bf_ref = (path, bytes)), and presence bits (device- or
+    parent-computed) arrive bit-packed.  env_flags carries the parent's
+    walk-relevant env at submit time — a persistent pool's inherited
+    environ is frozen at its first fork."""
+    import os as _os
+
+    for name, val in env_flags.items():
+        if val is None:
+            _os.environ.pop(name, None)
+        else:
+            _os.environ[name] = val
+    key = (bf_ref[0], cfg_blob)
+    eng = _WK_ENGINES.get(key)
     if eng is None:
-        eng = NtEditTPU(_PM_STATE["cfg"], _PM_STATE["bf"], backend="numpy")
-        _PM_STATE["eng"] = eng
+        import pickle
+
+        from ..ops import bloom
+        from ..utils.procs import attach_array
+
+        cfg = pickle.loads(cfg_blob)
+        path, nbytes = bf_ref
+        bf = bloom.BloomFilter.__new__(bloom.BloomFilter)
+        bf.bytes = nbytes
+        bf.bits = np.uint64(nbytes * 8)
+        bf._bits_i = nbytes * 8
+        bf.hash_num = cfg.h
+        bf.k = cfg.k
+        bf.array = attach_array(path)[:nbytes]
+        eng = NtEditTPU(cfg, bf, backend="numpy")
+        while len(_WK_ENGINES) >= _WK_ENGINES_CAP:
+            _WK_ENGINES.pop(next(iter(_WK_ENGINES)))
+        _WK_ENGINES[key] = eng
     pres = None
     if packed_present is not None:
         pres = np.unpackbits(packed_present, bitorder="little")[:nw].astype(bool)
@@ -329,6 +351,43 @@ class NtEditTPU:
             from ..ops import scan_conv
 
             self._scanner = scan_conv.DeviceScanner(bf)
+
+    # -- persistent-pool state push -------------------------------------------
+    def _bf_ref(self) -> tuple:
+        """(path, bytes) of the filter's tmpfs share for pool workers
+        (created once per engine; unlinked when the engine is collected)."""
+        ref = getattr(self, "_bf_share", None)
+        if ref is None:
+            import weakref
+
+            from ..utils import procs
+
+            path = procs.share_array(self.bf.array)
+            ref = (path, int(self.bf.bytes))
+            self._bf_share = ref
+            self._bf_share_fin = weakref.finalize(
+                self, procs.unshare_array, path
+            )
+        return ref
+
+    def _cfg_blob(self) -> bytes:
+        blob = getattr(self, "_cfg_pickle", None)
+        if blob is None:
+            import pickle
+
+            blob = pickle.dumps(self.cfg)
+            self._cfg_pickle = blob
+        return blob
+
+    @staticmethod
+    def _env_flags() -> dict:
+        """Walk-relevant env captured at submit time (persistent-pool
+        workers inherit environ from their first fork, not the caller's)."""
+        import os as _os
+
+        return {
+            "GPTPU_NO_NATIVE_WALK": _os.environ.get("GPTPU_NO_NATIVE_WALK"),
+        }
 
     def _use_native_walk(self) -> bool:
         """The full native walk (gp_polish_contig) replaces phases A+B when
@@ -587,21 +646,23 @@ class NtEditTPU:
                 else:
                     items.append((i, 0, s, presents.get(i)))
             if len(items) > 1:
-                import concurrent.futures
-                import multiprocessing
+                from ..utils.procs import get_pool
 
-                from ..utils.procs import pool_worker_init
-
-                _PM_STATE["cfg"] = self.cfg
-                _PM_STATE["bf"] = self.bf
-                _PM_STATE["items"] = items
-                _PM_STATE.pop("eng", None)
-                with concurrent.futures.ProcessPoolExecutor(
-                    max_workers=min(processes, len(items)),
-                    mp_context=multiprocessing.get_context("fork"),
-                    initializer=pool_worker_init,
-                ) as ex:
-                    pieces_out = list(ex.map(_pm_worker, range(len(items))))
+                ex = get_pool(processes)
+                blob = self._cfg_blob()
+                bf_ref = self._bf_ref()
+                flags = self._env_flags()
+                futs = []
+                for _ci, _start, s, pres in items:
+                    packed = (
+                        np.packbits(pres, bitorder="little")
+                        if pres is not None else None
+                    )
+                    futs.append(ex.submit(
+                        _pm_task, blob, bf_ref, flags, s, packed,
+                        0 if pres is None else len(pres),
+                    ))
+                pieces_out = [f.result() for f in futs]
                 # reassemble slices (in order) back into contigs
                 results: list = []
                 for i in range(len(seqs)):
@@ -645,15 +706,14 @@ class NtEditTPU:
         if processes > 1 and (
             len(seqs) > 1 or any(len(s) > shard_bases for s in seqs)
         ):
-            import concurrent.futures
-            import multiprocessing
+            from ..utils.procs import get_pool
 
-            from ..utils.procs import pool_worker_init
-
-            _PM_STATE["cfg"] = self.cfg
-            _PM_STATE["bf"] = self.bf
-            _PM_STATE.pop("eng", None)
-            _PM_STATE.pop("items", None)
+            # persistent pool: its workers were forked at first creation
+            # (utils/procs.get_pool), never mid-device-dispatch
+            ex = get_pool(processes)
+            blob = self._cfg_blob()
+            bf_ref = self._bf_ref()
+            flags = self._env_flags()
             # seeded hybrid split: the first contigs go to the pool
             # IMMEDIATELY as scan+walk tasks (native in-worker scan), so no
             # worker idles during the device pipeline's first-call latency
@@ -672,69 +732,59 @@ class NtEditTPU:
             pipe = ScanPipe(self._scanner, k,
                             rows=self._scanner.preferred_rows)
             pieces_map: dict[int, list] = {}
-            with concurrent.futures.ProcessPoolExecutor(
-                max_workers=processes,
-                mp_context=multiprocessing.get_context("fork"),
-                initializer=pool_worker_init,
-            ) as ex:
-                # fork all workers BEFORE the first device dispatch: forking
-                # while jax's dispatch threads hold locks is the classic
-                # fork-after-threads deadlock; an idle device window is the
-                # safe moment
-                concurrent.futures.wait(
-                    [ex.submit(int, 0) for _ in range(processes)]
-                )
 
-                def submit(ci: int, present: np.ndarray | None):
-                    s = seqs[ci]
-                    pieces = min(processes, max(1, -(-len(s) // shard_bases)))
-                    cuts = []
-                    if pieces > 1:
-                        pres = present
-                        if pres is None and len(s) >= k:
-                            pres = self._present_host(
-                                np.frombuffer(s, np.uint8)
-                            )
-                        if pres is not None and len(pres):
-                            cuts = _find_cuts(pres, k, len(s), pieces)
-                        present = pres
-                    bounds = [0, *cuts, len(s)]
-                    plist = []
-                    for a, b in zip(bounds[:-1], bounds[1:]):
-                        sub = s[a:b]
-                        if (present is not None and len(present)
-                                and len(sub) >= k):
-                            pres_sub = present[a : b - k + 1]
-                            packed = np.packbits(pres_sub, bitorder="little")
-                            nw = len(pres_sub)
-                        else:
-                            packed, nw = None, 0
-                        plist.append((a, ex.submit(_pm_walk, sub, packed, nw)))
-                    pieces_map[ci] = plist
-
-                for ci in seed_ids:
-                    submit(ci, None)
-                for ci, present in pipe.run(jobs):
-                    submit(ci, present if len(present) else None)
-                results: list = []
-                for ci in range(len(seqs)):
-                    out_b = b""
-                    recs: list[dict] = []
-                    stats = EditStats(0, 0, 0, 0)
-                    for start, fut in pieces_map[ci]:
-                        o, r, st = fut.result()
-                        out_b += o
-                        for rec in r:
-                            rec = dict(rec)
-                            rec["pos"] += start
-                            recs.append(rec)
-                        stats = EditStats(
-                            stats.n_subs + st.n_subs,
-                            stats.n_ins + st.n_ins,
-                            stats.n_dels + st.n_dels,
-                            stats.n_masked + st.n_masked,
+            def submit(ci: int, present: np.ndarray | None):
+                s = seqs[ci]
+                pieces = min(processes, max(1, -(-len(s) // shard_bases)))
+                cuts = []
+                if pieces > 1:
+                    pres = present
+                    if pres is None and len(s) >= k:
+                        pres = self._present_host(
+                            np.frombuffer(s, np.uint8)
                         )
-                    results.append((out_b, recs, stats))
+                    if pres is not None and len(pres):
+                        cuts = _find_cuts(pres, k, len(s), pieces)
+                    present = pres
+                bounds = [0, *cuts, len(s)]
+                plist = []
+                for a, b in zip(bounds[:-1], bounds[1:]):
+                    sub = s[a:b]
+                    if (present is not None and len(present)
+                            and len(sub) >= k):
+                        pres_sub = present[a : b - k + 1]
+                        packed = np.packbits(pres_sub, bitorder="little")
+                        nw = len(pres_sub)
+                    else:
+                        packed, nw = None, 0
+                    plist.append((a, ex.submit(
+                        _pm_task, blob, bf_ref, flags, sub, packed, nw
+                    )))
+                pieces_map[ci] = plist
+
+            for ci in seed_ids:
+                submit(ci, None)
+            for ci, present in pipe.run(jobs):
+                submit(ci, present if len(present) else None)
+            results: list = []
+            for ci in range(len(seqs)):
+                out_b = b""
+                recs: list[dict] = []
+                stats = EditStats(0, 0, 0, 0)
+                for start, fut in pieces_map[ci]:
+                    o, r, st = fut.result()
+                    out_b += o
+                    for rec in r:
+                        rec = dict(rec)
+                        rec["pos"] += start
+                        recs.append(rec)
+                    stats = EditStats(
+                        stats.n_subs + st.n_subs,
+                        stats.n_ins + st.n_ins,
+                        stats.n_dels + st.n_dels,
+                        stats.n_masked + st.n_masked,
+                    )
+                results.append((out_b, recs, stats))
             return results
         # serial: inline walks; the pipe scans ahead on the device while the
         # parent walks.  The first contig self-scans (host native) so the
