@@ -386,24 +386,37 @@ class WalkStats:
     """Editor counters returned by the native walk (duck-typed to the
     oracle _Editor fields the pipeline reads)."""
 
-    __slots__ = ("n_subs", "n_ins", "n_dels", "n_masked", "n_nofix")
+    __slots__ = ("n_subs", "n_ins", "n_dels", "n_masked", "n_nofix",
+                 "n_table_hits", "n_table_giveups")
 
-    def __init__(self, n_subs=0, n_ins=0, n_dels=0, n_masked=0, n_nofix=0):
+    def __init__(self, n_subs=0, n_ins=0, n_dels=0, n_masked=0, n_nofix=0,
+                 n_table_hits=0, n_table_giveups=0):
         self.n_subs = n_subs
         self.n_ins = n_ins
         self.n_dels = n_dels
         self.n_masked = n_masked
         self.n_nofix = n_nofix
+        self.n_table_hits = n_table_hits
+        self.n_table_giveups = n_table_giveups
 
 
 def polish_contig(seq: bytes, bf, cfg, tables, bloomrep=None,
-                  present: np.ndarray | None = None):
+                  present: np.ndarray | None = None,
+                  site_tables=None):
     """Full native editing walk (gp_polish_contig): byte-identical to
     polish.ntedit_oracle.polish_contig (differentially tested).
 
     present: optional primary-BF probe results of every raw-draft window
     (e.g. from the device dense scan); the walk uses them only where
     provably valid.  Returns (edited_bytes, subs_records, WalkStats).
+
+    site_tables: optional fused-phase-A trial tables (ops/scan_eval.py) —
+    a (sites_i64, gate_u8[S,4], sub_i8[S,4], del_i8[S,max_del],
+    ins_lane_i8[S], ins_ok_u8[S], ins_i8[S,n_combos]) tuple of
+    C-contiguous arrays, sites sorted ascending and pre-filtered to
+    interior windows.  The walk replays the reference decision loop from
+    them at pure-draft sites (zero probes) and natively re-evaluates any
+    site they do not cover.
 
     SNV mode (cfg.snv, reference ntedit.cpp:1540-1556): every window is
     treated as missing, the draft base competes as the support baseline,
@@ -413,11 +426,14 @@ def polish_contig(seq: bytes, bf, cfg, tables, bloomrep=None,
         u8p = ctypes.POINTER(ctypes.c_uint8)
         i32p = ctypes.POINTER(ctypes.c_int32)
         i64p = ctypes.POINTER(ctypes.c_int64)
+        i8p = ctypes.POINTER(ctypes.c_int8)
         L.gp_polish_contig.argtypes = [
             u8p, ctypes.c_int64, ctypes.c_uint32, ctypes.c_uint32,
             u8p, ctypes.c_uint64,
             u8p, ctypes.c_uint64,
             u8p,
+            i64p, ctypes.c_int64,
+            u8p, i8p, i8p, i8p, u8p, i8p,
             ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
             ctypes.c_int32, ctypes.c_int32,
             ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
@@ -446,11 +462,41 @@ def polish_contig(seq: bytes, bf, cfg, tables, bloomrep=None,
     if bloomrep is not None:
         bf2_ptr = _u8ptr(bloomrep.array)
         bf2_bytes = bloomrep.bytes
+    null_u8 = ctypes.cast(None, ctypes.POINTER(ctypes.c_uint8))
+    null_i8 = ctypes.cast(None, ctypes.POINTER(ctypes.c_int8))
+    null_i64 = ctypes.cast(None, ctypes.POINTER(ctypes.c_int64))
+    ts_args = (null_i64, 0, null_u8, null_i8, null_i8, null_i8, null_u8,
+               null_i8)
+    ts_keep = None
+    if site_tables is not None and pres_arr is not None:
+        tw, tg, tsub, tdel, tlane, tok, tins = site_tables
+        if len(tw):
+            ts_keep = (
+                np.ascontiguousarray(tw, np.int64),
+                np.ascontiguousarray(tg, np.uint8),
+                np.ascontiguousarray(tsub, np.int8),
+                np.ascontiguousarray(tdel, np.int8),
+                np.ascontiguousarray(tlane, np.int8),
+                np.ascontiguousarray(tok, np.uint8),
+                np.ascontiguousarray(tins, np.int8),
+            )
+            assert ts_keep[3].shape[1] == cfg.max_deletions
+            assert ts_keep[6].shape[1] == tables.n_combos
+
+            def _i8ptr(a):
+                return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int8))
+
+            ts_args = (
+                ts_keep[0].ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+                len(ts_keep[0]),
+                _u8ptr(ts_keep[1]), _i8ptr(ts_keep[2]), _i8ptr(ts_keep[3]),
+                _i8ptr(ts_keep[4]), _u8ptr(ts_keep[5]), _i8ptr(ts_keep[6]),
+            )
     out_cap = n + max(4096, n // 8)
     recs_cap = 4096
     out_len = ctypes.c_int64()
     n_recs = ctypes.c_int64()
-    stats = np.zeros(5, np.int64)
+    stats = np.zeros(7, np.int64)
     for _attempt in range(8):
         out = np.empty(out_cap, np.uint8)
         recs = np.zeros((recs_cap, 10), np.int64)
@@ -459,6 +505,7 @@ def polish_contig(seq: bytes, bf, cfg, tables, bloomrep=None,
             _u8ptr(bf.array), bf.bytes,
             bf2_ptr, bf2_bytes,
             pres_ptr,
+            *ts_args,
             cfg.mode, cfg.mask, cfg.max_insertions, cfg.max_deletions,
             cfg.jump, cfg.insertion_cap,
             _bail_needed(cfg.thr_edit), _bail_needed(cfg.thr_del),

@@ -859,6 +859,18 @@ struct WalkCtx {
   const uint8_t* sub_cand; const int32_t* sub_cand_n;
   const uint8_t* combo_codes; const int32_t* combo_len; int32_t n_combos;
   const uint8_t* present;  // nullable [n-k+1] probe results on the raw draft
+  // precomputed site trial tables (fused device phase-A, ops/scan_eval.py);
+  // sites are raw-draft window indices, sorted ascending.  Valid only at
+  // pure-draft trailing-node sites (the caller pre-filters interior sites).
+  const int64_t* tsite = nullptr;
+  int64_t n_tsites = 0;
+  const uint8_t* t_gate = nullptr;     // [n_tsites, 4]
+  const int8_t* t_sub = nullptr;       // [n_tsites, 4]
+  const int8_t* t_del = nullptr;       // [n_tsites, max_del]
+  const int8_t* t_ins_lane = nullptr;  // [n_tsites]
+  const uint8_t* t_ins_ok = nullptr;   // [n_tsites]
+  const int8_t* t_ins = nullptr;       // [n_tsites, n_combos]
+  int64_t n_table_hits = 0, n_table_giveups = 0;
   // state
   uint8_t* seq; int64_t n;
   std::vector<RNode> rope;
@@ -1601,6 +1613,115 @@ Best run_trials_c(WalkCtx& w, uint8_t draft, const Cursor& st, uint64_t fh,
   return best;
 }
 
+// Table replay of run_trials_c: reads the fused device phase-A's
+// precomputed supports (ops/scan_eval.py) instead of probing the filter.
+// Valid ONLY at pure-draft trailing-node sites with no secondary BF, no
+// SNV and mode 0/1 (the caller gates all of it).  Returns false ("gave
+// up") when the decision needs values the table does not carry — a second
+// insertion lane, or a survivor-overflow site; the caller then redoes the
+// site natively.  The substitution side effect already applied (the
+// apply+revert uppercase of the tail byte) is exactly the native path's,
+// so the redo is idempotent.
+bool run_trials_table_c(WalkCtx& w, uint8_t draft, int64_t si,
+                        const Cursor& st, Best& best) {
+  const int32_t C = w.n_combos;
+  int32_t num_deletions = 1;
+  const int32_t nb = w.sub_cand_n[draft];
+  for (int32_t ci = 0; ci < nb; ci++) {
+    const uint8_t sub = w.sub_cand[(int)draft * 4 + ci];
+    const bool gate = w.t_gate[si * 4 + ci] != 0;
+    const int32_t check = w.t_sub[si * 4 + ci];
+    if (!gate) continue;  // mode 2 is gated off by the caller
+    // native sub_trial_c's apply+revert leaves UPPER(draft) in place
+    {
+      RNode& t_node = w.rope[st.tn];
+      if (t_node.type == 0) w.seq[st.t] = draft;
+      else if (t_node.type == 1) t_node.c = draft;
+    }
+    if (check >= w.bail_edit) {
+      update_sub_best_c(best, sub, check);
+      continue;  // modes 0/1 skip indels for an accepted sub
+    }
+    if (best.et == 1) continue;
+    // --- indel scan from the table (mirrors run_indel_trials_c)
+    if (ci != w.t_ins_lane[si] || !w.t_ins_ok[si]) return false;
+    const int row = sub == 'A' ? 0 : sub == 'C' ? 1 : sub == 'G' ? 2 : 3;
+    int32_t tb_sup = 0, tb_alt_sup = 0;
+    uint8_t tb_indel[64], tb_alt[64];
+    int32_t tb_len = 0, tb_alt_len = 0;
+    int32_t tb_type = 0;
+    bool found = false;
+    for (int32_t i = 0; i < C; i++) {
+      const int32_t icheck = w.t_ins[si * C + i];
+      const uint8_t* cc = w.combo_codes + ((int64_t)row * C + i) * w.max_ins;
+      const int32_t clen = w.combo_len[i];
+      if (icheck >= w.bail_edit) {
+        if (w.mode == 0) {
+          best.et = 2;
+          std::memcpy(best.indel, cc, clen);
+          best.indel_len = clen;
+          best.num_support = icheck;
+          return true;
+        }
+        if (icheck >= tb_sup) {
+          if (tb_sup) {
+            std::memcpy(tb_alt, tb_indel, tb_len);
+            tb_alt_len = tb_len;
+            tb_alt_sup = tb_sup;
+          }
+          tb_type = 2;
+          std::memcpy(tb_indel, cc, clen);
+          tb_len = clen;
+          tb_sup = icheck;
+        }
+      }
+      if (num_deletions <= w.max_del) {
+        const int32_t del_check =
+            w.t_del[si * w.max_del + (num_deletions - 1)];
+        const int32_t del_support =
+            (del_check >= w.bail_del) ? del_check : 0;
+        if (del_support > 0) {
+          // deleted bytes: pure-draft trailing node -> consecutive seq
+          if (w.mode == 0) {
+            best.et = 3;
+            for (int32_t j = 0; j < num_deletions; j++)
+              best.indel[j] = w.seq[st.t + j];
+            best.indel_len = num_deletions;
+            best.num_support = del_support;
+            return true;
+          }
+          if (del_support >= tb_sup) {
+            if (tb_sup) {
+              std::memcpy(tb_alt, tb_indel, tb_len);
+              tb_alt_len = tb_len;
+              tb_alt_sup = tb_sup;
+            }
+            tb_type = 3;
+            for (int32_t j = 0; j < num_deletions; j++)
+              tb_indel[j] = w.seq[st.t + j];
+            tb_len = num_deletions;
+            tb_sup = del_support;
+          }
+        }
+        num_deletions += 1;
+      }
+    }
+    if (tb_sup > 0) {
+      // mode 1 (mode 2 gated off): adopt the scan's best
+      best.et = tb_type;
+      std::memcpy(best.indel, tb_indel, tb_len);
+      best.indel_len = tb_len;
+      best.num_support = tb_sup;
+      std::memcpy(best.alt_indel, tb_alt, tb_alt_len);
+      best.alt_indel_len = tb_alt_len;
+      best.as1 = tb_alt_sup;
+      found = true;
+    }
+    if (found) break;  // modes 0/1 exit the sub loop on an indel find
+  }
+  return true;
+}
+
 // oracle _make_edit (reference ntedit.cpp:972-1154)
 void make_edit_c(WalkCtx& w, uint8_t draft, const Best& best) {
   const uint32_t k = w.k;
@@ -1714,6 +1835,9 @@ int gp_polish_contig(
     const uint8_t* bf, uint64_t bf_bytes,
     const uint8_t* bf2, uint64_t bf2_bytes,
     const uint8_t* present,
+    const int64_t* tsite, int64_t n_tsites,  // fused phase-A site tables
+    const uint8_t* t_gate, const int8_t* t_sub, const int8_t* t_del,
+    const int8_t* t_ins_lane, const uint8_t* t_ins_ok, const int8_t* t_ins,
     int32_t mode, int32_t mask_flag, int32_t max_ins, int32_t max_del,
     int32_t jump, int32_t insertion_cap,
     int32_t bail_edit, int32_t bail_del, int32_t bail_missing,
@@ -1722,7 +1846,8 @@ int gp_polish_contig(
     const uint8_t* combo_codes, const int32_t* combo_len, int32_t n_combos,
     uint8_t* out_seq, int64_t out_cap, int64_t* out_len,
     int64_t* recs, int64_t recs_cap, int64_t* n_recs,
-    int64_t* stats /* [n_subs, n_ins, n_dels, n_masked, n_nofix] */) {
+    int64_t* stats /* [n_subs, n_ins, n_dels, n_masked, n_nofix,
+                       n_table_hits, n_table_giveups] */) {
   if (hash_num > 16 || k > 64 || max_del > 7 || max_ins > 5) return -1;
   WalkCtx w;
   w.k = k;
@@ -1747,6 +1872,14 @@ int gp_polish_contig(
   w.combo_len = combo_len;
   w.n_combos = n_combos;
   w.present = present;
+  w.tsite = tsite;
+  w.n_tsites = (present != nullptr) ? n_tsites : 0;  // tables need present
+  w.t_gate = t_gate;
+  w.t_sub = t_sub;
+  w.t_del = t_del;
+  w.t_ins_lane = t_ins_lane;
+  w.t_ins_ok = t_ins_ok;
+  w.t_ins = t_ins;
   w.recs = recs;
   w.recs_cap = recs_cap;
 
@@ -1895,33 +2028,67 @@ int gp_polish_contig(
     }
     // detection (reference :1487-1523)
     {
-      Cursor tmp = st;
-      uint64_t tfh = w.fh, trh = w.rh;
       const uint8_t draft = kTabs.upper[w.char_in];
+      // pure-draft trailing-node sites can read detection probes straight
+      // from present[] (windows st.h+1..st.h+k are unmutated draft) and
+      // replay trials from the fused device tables when provided
+      const bool pure = !w.snv && w.present && st.h > w.last_base_change &&
+                        st.hn == st.tn && w.rope[st.hn].type == 0 &&
+                        w.rope[st.hn].e == n - 1 &&
+                        st.h + 2 * (int64_t)k - 1 <= n - 1;
       int32_t check_missing = 0;
       int32_t check_there = 0;  // SNV draft-base support (oracle :952)
       bool do_not_fix = false;
-      uint32_t kk = 0;
-      while (kk < k && tmp.h < n) {
-        uint8_t c_out, c_in;
-        if (rope_roll(w, tmp, c_out, c_in)) {
-          hash_roll(tfh, trh, k, c_out, c_in);
-          if (!kTabs.accepted[kTabs.upper[c_in]]) {
+      if (pure) {
+        for (uint32_t kk = 0; kk < k; kk++) {
+          const uint8_t cin = w.seq[st.t + 1 + kk];
+          if (!kTabs.accepted[kTabs.upper[cin]]) {
             do_not_fix = true;
             break;
           }
-          if (kk % jump == 0) {
-            if (!probe_primary(w, tfh, trh)) check_missing++;
-            else if (kTabs.atgc[draft]) check_there++;
-          }
-        } else {
-          do_not_fix = true;
-          break;
+          if (kk % jump == 0 && !w.present[st.h + 1 + kk]) check_missing++;
         }
-        kk++;
+      } else {
+        Cursor tmp = st;
+        uint64_t tfh = w.fh, trh = w.rh;
+        uint32_t kk = 0;
+        while (kk < k && tmp.h < n) {
+          uint8_t c_out, c_in;
+          if (rope_roll(w, tmp, c_out, c_in)) {
+            hash_roll(tfh, trh, k, c_out, c_in);
+            if (!kTabs.accepted[kTabs.upper[c_in]]) {
+              do_not_fix = true;
+              break;
+            }
+            if (kk % jump == 0) {
+              if (!probe_primary(w, tfh, trh)) check_missing++;
+              else if (kTabs.atgc[draft]) check_there++;
+            }
+          } else {
+            do_not_fix = true;
+            break;
+          }
+          kk++;
+        }
       }
       if (w.snv || (!do_not_fix && check_missing >= bail_missing)) {
-        Best best = run_trials_c(w, draft, st, w.fh, w.rh, check_there);
+        Best best;
+        bool done = false;
+        if (pure && w.n_tsites && !w.bf2 && (w.mode == 0 || w.mode == 1)) {
+          const int64_t* end = w.tsite + w.n_tsites;
+          const int64_t* it = std::lower_bound(w.tsite, end, st.h);
+          if (it != end && *it == st.h) {
+            const int64_t si = it - w.tsite;
+            if (run_trials_table_c(w, draft, si, st, best)) {
+              w.n_table_hits++;
+              done = true;
+            } else {
+              w.n_table_giveups++;
+              best = Best();
+            }
+          }
+        }
+        if (!done) best = run_trials_c(w, draft, st, w.fh, w.rh, check_there);
         make_edit_c(w, draft, best);
       }
     }
@@ -1948,6 +2115,8 @@ int gp_polish_contig(
   stats[2] = w.n_dels;
   stats[3] = w.n_masked;
   stats[4] = w.n_nofix;
+  stats[5] = w.n_table_hits;
+  stats[6] = w.n_table_giveups;
   return w.recs_overflow ? 1 : 0;
 }
 
