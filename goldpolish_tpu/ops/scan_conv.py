@@ -371,6 +371,29 @@ class DeviceScanner:
         self._sharded_cache[key] = fn
         return fn
 
+    # -- fused phase-A (scan + hot-site detect + candidate eval) ------------
+    def enable_eval(self, eval_cfg, site_tables, force: bool = False) -> None:
+        """Arm the fused scan+eval program (ops/scan_eval).  Single-device
+        by default: on a mesh the plain sharded scan keeps running and site
+        eval stays on the host (the fused program is not row-sharded yet).
+        force=True arms it anyway, running unsharded on the default device
+        (tests on the virtual CPU mesh; GPTPU_DEVICE_EVAL=1)."""
+        if self._mesh is not None and not force:
+            return
+        from . import scan_eval
+
+        self._eval = scan_eval.FusedEval(eval_cfg, self.bits, site_tables)
+        self._eval_s_max = eval_cfg.s_max
+
+    @property
+    def eval_enabled(self) -> bool:
+        return getattr(self, "_eval", None) is not None
+
+    def scan_eval_packed(self, codes: np.ndarray, k: int):
+        """Fused scan+eval call: codes u8 [R, L] -> 9-tuple of device arrays
+        (see scan_eval.build_fused).  Async like scan_packed."""
+        return self._eval(self._words, jnp.asarray(codes))
+
     @property
     def _filter_arg(self):
         return self._planes if self.probe == "mxu" else self._words

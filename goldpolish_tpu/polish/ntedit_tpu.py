@@ -218,6 +218,8 @@ class EditStats:
     n_ins: int
     n_dels: int
     n_masked: int
+    n_table_hits: int = 0
+    n_table_giveups: int = 0
 
 
 # A/B placement samples for polish_many: {(k, h, probe): {"device": [rates],
@@ -240,7 +242,7 @@ _WK_ENGINES_CAP = 12
 
 
 def _pm_task(cfg_blob: bytes, bf_ref: tuple, env_flags: dict,
-             seq: bytes, packed_present, nw: int):
+             seq: bytes, packed_present, nw: int, site_tables=None):
     """Persistent-pool walk task (utils/procs.get_pool): the config pickles
     through the call pipe (tiny), the Bloom filter attaches from the shared
     tmpfs buffer (bf_ref = (path, bytes)), and presence bits (device- or
@@ -278,8 +280,12 @@ def _pm_task(cfg_blob: bytes, bf_ref: tuple, env_flags: dict,
     pres = None
     if packed_present is not None:
         pres = np.unpackbits(packed_present, bitorder="little")[:nw].astype(bool)
-    out, recs, ed = eng.polish_contig(seq, present=pres)
-    return out, recs, EditStats(ed.n_subs, ed.n_ins, ed.n_dels, ed.n_masked)
+    out, recs, ed = eng.polish_contig(seq, present=pres,
+                                      site_tables=site_tables)
+    return out, recs, EditStats(
+        ed.n_subs, ed.n_ins, ed.n_dels, ed.n_masked,
+        getattr(ed, "n_table_hits", 0), getattr(ed, "n_table_giveups", 0),
+    )
 
 
 def _find_cuts(present: np.ndarray, k: int, n: int, n_pieces: int) -> list[int]:
@@ -348,9 +354,35 @@ class NtEditTPU:
             # device runs the fused dense scan (ops/scan_conv: MXU conv hash
             # + size-adaptive Bloom probe); host runs candidate eval + walk;
             # placement is A/B-measured per workload class in polish_many
+            import os as _os
+
             from ..ops import scan_conv
 
             self._scanner = scan_conv.DeviceScanner(bf)
+            # fused phase-A (scan + detection + site eval on device,
+            # ops/scan_eval): the walker then replays trials from tables —
+            # its heaviest per-site work — wherever the device's site
+            # prediction hit.  Constraints mirror the native replay's.
+            dev_eval = _os.environ.get("GPTPU_DEVICE_EVAL", "1")
+            if (
+                dev_eval != "0"
+                and cfg.mode in (0, 1) and not cfg.snv
+                and cfg.k <= 64 and cfg.h <= 16
+                and cfg.max_insertions <= 5 and cfg.max_deletions <= 7
+            ):
+                from ..ops.scan_eval import EvalConfig
+
+                self._scanner.enable_eval(
+                    EvalConfig(
+                        k=cfg.k, h=cfg.h, jump=cfg.jump,
+                        max_ins=cfg.max_insertions,
+                        max_del=cfg.max_deletions,
+                        thr_edit=cfg.thr_edit,
+                        thr_missing=cfg.thr_missing, s_max=4096,
+                    ),
+                    self.tables,
+                    force=dev_eval == "1",
+                )
 
     # -- persistent-pool state push -------------------------------------------
     def _bf_ref(self) -> tuple:
@@ -683,6 +715,8 @@ class NtEditTPU:
                             stats.n_ins + st.n_ins,
                             stats.n_dels + st.n_dels,
                             stats.n_masked + st.n_masked,
+                            stats.n_table_hits + st.n_table_hits,
+                            stats.n_table_giveups + st.n_table_giveups,
                         )
                     results.append((out_b, recs, stats))
                 return results
@@ -729,11 +763,27 @@ class NtEditTPU:
                 (i, np.frombuffer(s, np.uint8))
                 for i, s in enumerate(seqs) if i >= n_seed
             ]
-            pipe = ScanPipe(self._scanner, k,
-                            rows=self._scanner.preferred_rows)
+            eval_mode = getattr(self._scanner, "eval_enabled", False)
+            pipe = ScanPipe(
+                self._scanner, k, rows=self._scanner.preferred_rows,
+                # smaller calls in eval mode: the per-call site budget
+                # (s_max) must cover the call's error clusters
+                row_windows=(1 << 18) if eval_mode else None,
+            )
             pieces_map: dict[int, list] = {}
 
-            def submit(ci: int, present: np.ndarray | None):
+            def slice_tabs(tabs, a: int, piece_nw: int):
+                """Site-table rows for piece windows [a, a+piece_nw)."""
+                if tabs is None or not len(tabs[0]):
+                    return None
+                w = tabs[0]
+                lo = int(np.searchsorted(w, a))
+                hi = int(np.searchsorted(w, a + piece_nw))
+                if hi <= lo:
+                    return None
+                return ((w[lo:hi] - a),) + tuple(t[lo:hi] for t in tabs[1:])
+
+            def submit(ci: int, present: np.ndarray | None, tabs=None):
                 s = seqs[ci]
                 pieces = min(processes, max(1, -(-len(s) // shard_bases)))
                 cuts = []
@@ -755,17 +805,21 @@ class NtEditTPU:
                         pres_sub = present[a : b - k + 1]
                         packed = np.packbits(pres_sub, bitorder="little")
                         nw = len(pres_sub)
+                        ptabs = slice_tabs(tabs, a, nw)
                     else:
-                        packed, nw = None, 0
+                        packed, nw, ptabs = None, 0, None
                     plist.append((a, ex.submit(
-                        _pm_task, blob, bf_ref, flags, sub, packed, nw
+                        _pm_task, blob, bf_ref, flags, sub, packed, nw,
+                        ptabs,
                     )))
                 pieces_map[ci] = plist
 
             for ci in seed_ids:
                 submit(ci, None)
-            for ci, present in pipe.run(jobs):
-                submit(ci, present if len(present) else None)
+            for item in pipe.run(jobs):
+                ci, present = item[0], item[1]
+                submit(ci, present if len(present) else None,
+                       item[2] if eval_mode else None)
             results: list = []
             for ci in range(len(seqs)):
                 out_b = b""
@@ -783,6 +837,8 @@ class NtEditTPU:
                         stats.n_ins + st.n_ins,
                         stats.n_dels + st.n_dels,
                         stats.n_masked + st.n_masked,
+                        stats.n_table_hits + st.n_table_hits,
+                        stats.n_table_giveups + st.n_table_giveups,
                     )
                 results.append((out_b, recs, stats))
             return results
@@ -795,21 +851,31 @@ class NtEditTPU:
             (i, np.frombuffer(s, np.uint8))
             for i, s in enumerate(seqs) if i >= n_seed
         ]
-        pipe = ScanPipe(self._scanner, k, rows=self._scanner.preferred_rows)
+        eval_mode = getattr(self._scanner, "eval_enabled", False)
+        pipe = ScanPipe(
+            self._scanner, k, rows=self._scanner.preferred_rows,
+            row_windows=(1 << 18) if eval_mode else None,
+        )
         gen = pipe.run(jobs)
         out: list = [
             self.polish_contig(seqs[i]) for i in range(n_seed)
         ]
-        for ci, present in gen:
+        for item in gen:
+            ci, present = item[0], item[1]
             out.append(
                 self.polish_contig(
-                    seqs[ci], present=present if len(present) else None
+                    seqs[ci], present=present if len(present) else None,
+                    site_tables=item[2] if eval_mode else None,
                 )
             )
         return out
 
-    def polish_contig(self, seq_in: bytes, present: np.ndarray | None = None):
-        """Polish one contig; returns (edited_bytes, subs_records, editor)."""
+    def polish_contig(self, seq_in: bytes, present: np.ndarray | None = None,
+                      site_tables=None):
+        """Polish one contig; returns (edited_bytes, subs_records, editor).
+
+        site_tables: optional fused phase-A trial tables (ops/scan_eval,
+        window-relative to seq_in) — consumed by the native walk only."""
         cfg = self.cfg
         k = cfg.k
         n = len(seq_in)
@@ -817,7 +883,8 @@ class NtEditTPU:
             from .. import native
 
             return native.polish_contig(
-                seq_in, self.bf, cfg, self.tables, present=present
+                seq_in, self.bf, cfg, self.tables, present=present,
+                site_tables=site_tables,
             )
         if cfg.snv:
             # SNV treats EVERY window as a hot site (reference

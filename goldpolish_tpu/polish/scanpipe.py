@@ -129,6 +129,10 @@ class ScanPipe:
                 s.w0 : s.w0 + s.nw + self.k - 1
             ]
         self.calls += 1
+        if getattr(self.scanner, "eval_enabled", False):
+            # fused scan + site eval (raw transfer; the table d2h dwarfs
+            # the packed-transfer savings at this call size)
+            return self.scanner.scan_eval_packed(buf, self.k)
         if self._pack2 is not None:
             p4 = -(-self.row_bytes // 4)
             packed = np.zeros((rows, p4), np.uint8)
@@ -173,31 +177,51 @@ class ScanPipe:
 
         pump()  # eager: the device is busy before the generator is consumed
 
+        eval_mode = getattr(self.scanner, "eval_enabled", False)
+        nw_row = self.row_windows
+
         def gen():
             first_wait = True
             parts: dict[int, list[np.ndarray]] = {}
+            tab_parts: dict[int, list[tuple]] = {}
             done: dict[int, np.ndarray] = {}
+            done_tabs: dict[int, tuple] = {}
             need = {
                 ji: max(0, len(c) - k + 1) for ji, (_j, c) in enumerate(jobs)
             }
             next_ji = 0
 
+            def assemble_tabs(ji: int):
+                ps = tab_parts.pop(ji, [])
+                if not ps:
+                    return None
+                cols = list(zip(*ps))
+                return tuple(np.concatenate(c) for c in cols)
+
             def emit_ready():
                 nonlocal next_ji
                 while next_ji < len(jobs):
                     if need[next_ji] == 0:
-                        yield jobs[next_ji][0], np.zeros(0, bool)
+                        out = (jobs[next_ji][0], np.zeros(0, bool))
                     elif next_ji in done:
-                        yield jobs[next_ji][0], done.pop(next_ji)
+                        out = (jobs[next_ji][0], done.pop(next_ji))
                     else:
                         return
+                    if eval_mode:
+                        yield (*out, done_tabs.pop(next_ji, None))
+                    else:
+                        yield out
                     next_ji += 1
 
             while inflight:
                 call, fut = inflight.popleft()
                 pump()  # keep the device queue full before blocking
                 t0 = time.perf_counter()
-                packed = np.asarray(fut)  # blocks for THIS call only
+                if eval_mode:
+                    (packed, _n_sites, site, gate, sub_sup, del_sup,
+                     ins_lane, ins_ok, ins_sup) = (np.asarray(x) for x in fut)
+                else:
+                    packed = np.asarray(fut)  # blocks for THIS call only
                 dt = time.perf_counter() - t0
                 self.wait_s += dt
                 if not first_wait:
@@ -206,16 +230,39 @@ class ScanPipe:
                 if dt > 0.002:
                     self.waits += 1
                 bits = np.unpackbits(packed, axis=1, bitorder="little")
+                if eval_mode:
+                    valid = site[site >= 0]  # ascending prefix
                 for s in call.segs:
                     parts.setdefault(s.job, []).append(
                         bits[s.row, s.off : s.off + s.nw].astype(bool)
                     )
+                    if eval_mode:
+                        # interior sites only (the drop rule: a device-
+                        # evaluated site needs k+max_del suffix bytes inside
+                        # its own segment; 2k covers every table consumer)
+                        g0 = s.row * nw_row + s.off
+                        lo = int(np.searchsorted(valid, g0))
+                        hi = int(np.searchsorted(
+                            valid, g0 + max(0, s.nw - 2 * k), side="right"
+                        ))
+                        if hi > lo:
+                            wins = (valid[lo:hi] - g0 + s.w0).astype(np.int64)
+                            # valid is the ascending PREFIX of site, so the
+                            # table row of valid[j] is j itself
+                            rows_i = np.arange(lo, hi)
+                            tab_parts.setdefault(s.job, []).append((
+                                wins, gate[rows_i], sub_sup[rows_i],
+                                del_sup[rows_i], ins_lane[rows_i],
+                                ins_ok[rows_i], ins_sup[rows_i],
+                            ))
                     got = sum(len(p) for p in parts[s.job])
                     if got == need[s.job]:
                         ps = parts.pop(s.job)
                         done[s.job] = (
                             ps[0] if len(ps) == 1 else np.concatenate(ps)
                         )
+                        if eval_mode:
+                            done_tabs[s.job] = assemble_tabs(s.job)
                 yield from emit_ready()
             yield from emit_ready()
             assert next_ji == len(jobs), "scan pipe under-delivered"

@@ -192,3 +192,48 @@ def test_fused_survivor_overflow_flags():
         "expected at least one survivor overflow at thr_edit=0.5"
     )
     assert T_SURVIVORS < tables.n_combos
+
+
+def test_hybrid_engine_with_device_eval_end_to_end(monkeypatch):
+    """Production pipelined path with the fused eval forced on (the CPU
+    mesh would normally disable it): byte-identical to the host backend,
+    with real table hits reported."""
+    monkeypatch.setenv("GPTPU_DEVICE_EVAL", "1")
+    monkeypatch.setenv("GPTPU_FORCE_DEVICE_SCAN", "1")
+    rng = np.random.default_rng(7)
+    n = 150_000
+    truth = np.frombuffer(b"ACGT", np.uint8)[rng.integers(0, 4, n)].tobytes()
+    bf = bloom.BloomFilter(1 << 18, H, K)
+    bf.insert(nt.multi_hashes(
+        nt.canonical_hashes(np.frombuffer(truth, np.uint8), K), K, H
+    ))
+    drafts = []
+    for c in range(3):
+        d = bytearray(truth[c * 50_000 : (c + 1) * 50_000])
+        for i, p in enumerate(range(2 * K + c, len(d) - 2 * K, 431)):
+            kind = i % 3
+            if kind == 0:
+                d[p] = ord("A") if d[p] != ord("A") else ord("G")
+            elif kind == 1:
+                q = p
+                while d[q] == d[q - 1] or d[q] == d[q + 1]:
+                    q += 1
+                del d[q]
+            else:
+                ins = next(x for x in b"TGCA" if x != d[p - 1] and x != d[p])
+                d.insert(p, ins)
+        drafts.append(bytes(d))
+    cfg = ntedit_config_for_k(K)
+    ref_eng = NtEditTPU(cfg, bf, backend="numpy")
+    want = [o for o, _r, _e in ref_eng.polish_many(drafts)]
+
+    eng = NtEditTPU(cfg, bf, backend="hybrid")
+    assert eng._scanner.eval_enabled
+    # serial pipelined path
+    got = eng.polish_many(drafts)
+    assert [o for o, _r, _e in got] == want
+    # pooled pipelined path, with table-hit accounting
+    got_pool = eng.polish_many(drafts, processes=2, shard_bases=30_000)
+    assert [o for o, _r, _e in got_pool] == want
+    hits = sum(e.n_table_hits for _o, _r, e in got_pool)
+    assert hits > 50, hits
