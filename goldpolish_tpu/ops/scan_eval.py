@@ -47,7 +47,10 @@ from . import nthash as nt
 from . import nthash_jax as ntj
 from .siteeval import SiteTables
 
-T_SURVIVORS = 16  # max full-h insertion combos per site (overflow -> host)
+T_SURVIVORS = 48  # max full-h insertion combos per site (overflow -> host).
+# At 25% filter-bit occupancy the h1 prescreen passes ~12-30 of 341 combos
+# (measured; inter-combo correlation at real indel sites pushes the tail
+# well past the independence estimate), so 16 overflowed ~38% of sites.
 
 
 # --- constant tables (numpy, baked into the jitted program) -----------------
