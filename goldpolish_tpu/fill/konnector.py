@@ -768,6 +768,73 @@ def connect_pairs(dbg: DBG, read1: str, read2: str, params: ConnectPairsParams) 
     return _finish_search(dbg, res, search, read1, read2, params)
 
 
+class MaskDBG:
+    """DBG view over precomputed 4-bit extension masks (ops/dbg_bfs device
+    kernel output).  Membership answers are identical to the probing DBG's
+    for every vertex the kernel visited; a lookup outside that set marks
+    `missed` and the caller re-runs the search on the probing DBG — the
+    exactness shield for kernel-capacity corner cases."""
+
+    def __init__(self, k: int, succ: dict, pred: dict):
+        self.k = k
+        self.succ = succ
+        self.pred = pred
+        self.missed = False
+
+    def successors(self, kmer: str) -> list[str]:
+        m = self.succ.get(kmer)
+        if m is None:
+            self.missed = True
+            return []
+        prefix = kmer[1:]
+        return [prefix + b for i, b in enumerate("ACGT") if m >> i & 1]
+
+    def predecessors(self, kmer: str) -> list[str]:
+        m = self.pred.get(kmer)
+        if m is None:
+            self.missed = True
+            return []
+        suffix = kmer[:-1]
+        return [b + suffix for i, b in enumerate("ACGT") if m >> i & 1]
+
+
+def connect_pairs_batch_masks(dbg: DBG, pairs: list[tuple[str, str]],
+                              params: ConnectPairsParams,
+                              device_bfs) -> list[SearchResult]:
+    """connect_pairs over many gaps with the WHOLE search's probes computed
+    in one device dispatch (ops/dbg_bfs.DeviceBFS — a lax.while_loop over
+    BFS levels, vs one round trip per level for DeviceDBG lockstep): the
+    kernel returns every reachable vertex's extension mask and the host
+    replays _BidiSearch against the mask dictionary with zero probes.
+    Replay order, cost accounting and aborts are the exact host semantics;
+    kernel capacity overflows (and any mask miss) re-run natively."""
+    prepared = [_prepare_search(dbg, r1, r2, params) for r1, r2 in pairs]
+    live = [(i, s) for i, (_res, s) in enumerate(prepared) if s is not None]
+    masks = device_bfs.run(
+        [(s.start, s.goal, s.max_depth[0], s.max_depth[1]) for _i, s in live]
+    ) if live else []
+    for (i, s), (succ, pred) in zip(live, masks):
+        redo = succ is None
+        if not redo:
+            mdbg = MaskDBG(dbg.k, succ, pred)
+            s.dbg = mdbg
+            s.run()
+            redo = mdbg.missed
+        if redo:
+            res = prepared[i][0]
+            s2 = _BidiSearch(
+                dbg, s.start, s.goal, s.max_paths, s.min_path_len,
+                s.max_path_len, s.max_branches, s.max_cost,
+                mem_limit=s.mem_limit,
+            )
+            s2.run()
+            prepared[i] = (res, s2)
+    return [
+        _finish_search(dbg, res, s, pairs[i][0], pairs[i][1], params)
+        for i, (res, s) in enumerate(prepared)
+    ]
+
+
 def connect_pairs_batch(dbg: DBG, pairs: list[tuple[str, str]],
                         params: ConnectPairsParams) -> list[SearchResult]:
     """connect_pairs over many gaps with LOCKSTEP searches: every active

@@ -162,7 +162,17 @@ def seal_records(records, bfs_by_k: dict[int, object], cfg: SealerConfig,
     stats = {"gaps_found": gaps_found, "gaps_closed": 0}
     for k in cfg.k_values:
         bf = bfs_by_k[k]
-        if backend == "jax":
+        device_bfs = None
+        if backend == "hybrid" and k <= 32:
+            # whole-search device BFS (ops/dbg_bfs): ONE dispatch per gap
+            # batch computes every level's probes; the host replays the
+            # exact search bookkeeping from the returned masks.  This is
+            # the per-level-round-trip-free redesign of DeviceDBG.
+            from ..ops.dbg_bfs import DeviceBFS
+
+            dbg = DBG(bf, k)
+            device_bfs = DeviceBFS(bf, k)
+        elif backend == "jax":
             from .konnector import DeviceDBG
 
             dbg = DeviceDBG(bf, k)
@@ -187,9 +197,16 @@ def seal_records(records, bfs_by_k: dict[int, object], cfg: SealerConfig,
             for key1 in sorted(flanks)
             for key2 in sorted(flanks[key1])
         ]
-        results = connect_pairs_batch(
-            dbg, [(k1[1], k2[1]) for k1, k2 in work], params
-        )
+        if device_bfs is not None:
+            from .konnector import connect_pairs_batch_masks
+
+            results = connect_pairs_batch_masks(
+                dbg, [(k1[1], k2[1]) for k1, k2 in work], params, device_bfs
+            )
+        else:
+            results = connect_pairs_batch(
+                dbg, [(k1[1], k2[1]) for k1, k2 in work], params
+            )
         res_by_keys = {keys: r for keys, r in zip(work, results)}
         for key1 in sorted(flanks):
             read1_id, read1_seq = key1

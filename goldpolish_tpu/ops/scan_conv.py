@@ -382,7 +382,13 @@ class DeviceScanner:
             return
         from . import scan_eval
 
-        self._eval = scan_eval.FusedEval(eval_cfg, self.bits, site_tables)
+        # the eval inherits the scanner's probe engine: int8 MXU one-hot
+        # planes for production-size (<= 1 MiB pow2) filters, XLA gather
+        # otherwise — every Bloom test in the fused program rides it
+        self._eval = scan_eval.FusedEval(
+            eval_cfg, self.bits, site_tables, probe=self.probe,
+            interpret=self._interpret,
+        )
         self._eval_s_max = eval_cfg.s_max
 
     @property
@@ -392,7 +398,8 @@ class DeviceScanner:
     def scan_eval_packed(self, codes: np.ndarray, k: int):
         """Fused scan+eval call: codes u8 [R, L] -> 9-tuple of device arrays
         (see scan_eval.build_fused).  Async like scan_packed."""
-        return self._eval(self._words, jnp.asarray(codes))
+        filt = self._planes if self._eval.probe == "mxu" else self._words
+        return self._eval(filt, jnp.asarray(codes))
 
     @property
     def _filter_arg(self):

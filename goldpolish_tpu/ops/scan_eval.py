@@ -198,8 +198,31 @@ def _accepted_mask(codes):
     return acc
 
 
-def build_fused(cfg: EvalConfig, bits: int, tables: SiteTables):
-    """Returns the jitted fused program: (words, codes[R, L]) -> outputs.
+@functools.lru_cache(maxsize=32)
+def _fused_cached(key: tuple, bits: int, k: int, jump: int, max_ins: int,
+                  max_del: int, probe: str, interpret: bool):
+    """Program cache: per-batch engines construct fresh FusedEval objects,
+    and an uncached build would re-trace (and re-look-up) the large fused
+    graph once per (batch, k) — measured at seconds per program."""
+    cfg = EvalConfig(
+        k=k, h=key[1], jump=jump, max_ins=max_ins, max_del=max_del,
+        thr_edit=key[5], thr_missing=key[6], s_max=key[7],
+    )
+    from .siteeval import make_tables
+
+    return build_fused(cfg, bits, make_tables(k, jump, max_ins, max_del),
+                       probe=probe, interpret=interpret)
+
+
+def build_fused(cfg: EvalConfig, bits: int, tables: SiteTables,
+                probe: str = "gather", interpret: bool = False):
+    """Returns the jitted fused program: (filt, codes[R, L]) -> outputs.
+
+    probe="gather": filt is the u32 words array (any filter size).
+    probe="mxu": filt is the int8 one-hot planes (power-of-two filters
+    <= ops/scan_conv.MXU_PROBE_MAX_BITS); every Bloom test rides the
+    bloom_pallas one-hot matmul (~2x the gather issue rate on a v5e), with
+    interpret=True for CPU-device tests.
 
     Outputs (fixed shapes; S = cfg.s_max, C = tables.n_combos):
       packed   u8 [R, ceil(nw/8)]   presence bits
@@ -233,6 +256,28 @@ def build_fused(cfg: EvalConfig, bits: int, tables: SiteTables):
     fa = jnp.uint64(int(nt.SEED_TAB[ord("A")]))
     ra = jnp.uint64(int(nt.RC_SEED_TAB[ord("A")]))
 
+    if probe == "mxu":
+        from . import bloom_pallas
+        from .scan_conv import _multi_lo32
+
+        def probe_full(filt, base):
+            lo = _multi_lo32(base, k, h).reshape(-1, h)
+            return bloom_pallas.probe_lo32_mxu_i8(
+                filt, bits, lo, interpret=interpret
+            ).reshape(base.shape)
+
+        def probe_h1(filt, base):
+            lo = (base & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32)
+            return bloom_pallas.probe_lo32_mxu_i8(
+                filt, bits, lo.reshape(-1, 1), interpret=interpret
+            ).reshape(base.shape)
+    else:
+        def probe_full(filt, base):
+            return _probe_full(filt, bits, base, k, h)
+
+        def probe_h1(filt, base):
+            return _bit(filt, _probe_idx(base, bits))
+
     def run(words, codes):
         R, L = codes.shape
         nw = L - k + 1
@@ -240,7 +285,7 @@ def build_fused(cfg: EvalConfig, bits: int, tables: SiteTables):
 
         fh, rh = scan_conv.strand_hashes_conv(codes, k)  # [R, nw] u64
         base = fh + rh
-        present = _probe_full(words, bits, base, k, h)  # [R, nw]
+        present = probe_full(words, base)  # [R, nw]
 
         # --- detection masks (polish/ntedit_tpu._masks semantics)
         acc = _accepted_mask(codes)  # [R, L]
@@ -295,16 +340,19 @@ def build_fused(cfg: EvalConfig, bits: int, tables: SiteTables):
         # --- substitutions: gate (j=0) + supports over j_sub
         df = d_f_sub_t[draft]  # [S, 4]
         dr = d_r_sub_t[draft]
-        sub_pres = []
+        sub_bases = []
         for j in [0] + j_sub:
             wj = jnp.minimum(w_safe + j, jnp.int32(max(0, nw - 1)))
             fh_j = fh[r_i, wj][:, None] ^ _srol_const(df, j % nt.SROL_PERIOD)
             rh_j = rh[r_i, wj][:, None] ^ _srol_const(
                 dr, (k - 1 - j) % nt.SROL_PERIOD
             )
-            sub_pres.append(_probe_full(words, bits, fh_j + rh_j, k, h))
+            sub_bases.append(fh_j + rh_j)
+        sub_pres = probe_full(
+            words, jnp.stack(sub_bases, axis=0)
+        )  # [1+nj, S, 4]
         gate = sub_pres[0]  # [S, 4] bool
-        sub_sup = sum(p.astype(jnp.int8) for p in sub_pres[1:])
+        sub_sup = sub_pres[1:].astype(jnp.int8).sum(axis=0)
 
         # --- deletions: MD rolled chains from changelast(draft -> s[p+d])
         f_draft = fseed_t[draft]  # [S]
@@ -316,7 +364,7 @@ def build_fused(cfg: EvalConfig, bits: int, tables: SiteTables):
             fh0[:, None], rh0[:, None], k,
             f_draft[:, None], fseed_t[nxt], r_draft[:, None], rseed_t[nxt],
         )
-        del_pres = [_probe_full(words, bits, fh_d + rh_d, k, h)]  # j=0
+        del_bases = [fh_d + rh_d]  # j=0
         for kk in range(1, k - 1):
             c_out = code_at(kk - 1)  # [S]
             c_in = codes[r_i[:, None], jnp.minimum(
@@ -328,9 +376,10 @@ def build_fused(cfg: EvalConfig, bits: int, tables: SiteTables):
                 rseed_t[c_out][:, None], rseed_t[c_in],
             )
             if kk % jump == 0:
-                del_pres.append(_probe_full(words, bits, fh_d + rh_d, k, h))
-        assert len(del_pres) == len(j_del)
-        del_sup = sum(p.astype(jnp.int8) for p in del_pres)
+                del_bases.append(fh_d + rh_d)
+        assert len(del_bases) == len(j_del)
+        del_pres = probe_full(words, jnp.stack(del_bases, axis=0))
+        del_sup = del_pres.astype(jnp.int8).sum(axis=0)
 
         # --- insertion lane: first gated candidate whose sub was NOT
         # accepted and with no accepted sub at an earlier lane
@@ -391,7 +440,7 @@ def build_fused(cfg: EvalConfig, bits: int, tables: SiteTables):
         cf = ref_f[:, grp, :] ^ d_f_ins_t[None, :, :]  # [S, C, T]
         cr = ref_r[:, grp, :] ^ d_r_ins_t[None, :, :]
         cbase = cf + cr
-        maybe = _bit(words, _probe_idx(cbase, bits))  # h1 bit only
+        maybe = probe_h1(words, cbase)  # h1 bit only
         maybe_cnt = maybe.sum(axis=-1, dtype=jnp.int32)  # [S, C]
         can_pass = maybe_cnt.astype(jnp.float32) >= thr_edit
         n_surv = can_pass.sum(axis=1)
@@ -403,7 +452,7 @@ def build_fused(cfg: EvalConfig, bits: int, tables: SiteTables):
         surv_idx = jnp.where(top_s > 0, jnp.int32(C) - top_s, 0)
         surv_valid = top_s > 0
         sbase = jnp.take_along_axis(cbase, surv_idx[:, :, None], axis=1)
-        exact = _probe_full(words, bits, sbase, k, h).sum(
+        exact = probe_full(words, sbase).sum(
             axis=-1, dtype=jnp.int8
         )  # [S, T_SURV]
         ins_sup = jnp.zeros((S, C), jnp.int8)
@@ -419,13 +468,21 @@ def build_fused(cfg: EvalConfig, bits: int, tables: SiteTables):
 
 
 class FusedEval:
-    """Host-side cache of jitted fused programs per (cfg, bits)."""
+    """Host-side handle on the (process-cached) jitted fused program.
 
-    def __init__(self, cfg: EvalConfig, bits: int, tables: SiteTables):
+    `filt` in __call__ is the words array (probe="gather") or the int8
+    one-hot planes (probe="mxu")."""
+
+    def __init__(self, cfg: EvalConfig, bits: int, tables: SiteTables,
+                 probe: str = "gather", interpret: bool = False):
         self.cfg = cfg
         self.bits = bits
         self.tables = tables
-        self._run = build_fused(cfg, bits, tables)
+        self.probe = probe
+        self._run = _fused_cached(
+            cfg.key(), bits, cfg.k, cfg.jump, cfg.max_ins, cfg.max_del,
+            probe, interpret,
+        )
 
-    def __call__(self, words, codes):
-        return self._run(words, codes)
+    def __call__(self, filt, codes):
+        return self._run(filt, codes)

@@ -55,7 +55,26 @@ def main():
     bfs_by_k = {k: bf for k, bf in zip(ks, bfs)}
     cfg = sl.SealerConfig(k_values=ks, flank_length=ks[0])
 
-    for backend in ("numpy", "jax"):
+    for backend in ("numpy", "hybrid", "jax"):
+        if backend == "hybrid":
+            # whole-search device BFS (ops/dbg_bfs): one dispatch per gap
+            # batch; host replays the exact bookkeeping from the masks
+            try:
+                import jax
+
+                if jax.devices()[0].platform == "cpu":
+                    print("hybrid backend: cpu only, skipping device timing",
+                          flush=True)
+                    continue
+            except Exception:
+                continue
+            # untimed warmup call: XLA compiles (2 width tiers x 2 k)
+            t0 = time.time()
+            sl.seal_records(
+                [("warm", draft[:40_000])], bfs_by_k, cfg, backend=backend
+            )
+            print(f"hybrid warmup (compiles): {time.time()-t0:.1f}s",
+                  flush=True)
         if backend == "jax":
             import os
 
