@@ -27,10 +27,14 @@ Prints ONE JSON line with {"metric", "value", "unit", "vs_baseline"} plus
 parsed fields: arms{}, locks{}, fill{}, pipeline_rate, recovered.  value is
 the production configuration's polished bases/s/chip.
 
-Env knobs: GPTPU_BENCH_BASES (default 8M), GPTPU_BENCH_CONTIGS (default 8),
-GPTPU_BENCH_BATCHES (default 4), GPTPU_BENCH_PROCS (default cpu count),
+Env knobs: GPTPU_BENCH_BASES (default 8M), GPTPU_BENCH_CONTIGS (default 16),
+GPTPU_BENCH_BATCHES (default 16), GPTPU_BENCH_PROCS (default cpu count),
 GPTPU_BENCH_BACKEND (numpy forces host-only), GPTPU_PROFILE (jax profiler
-trace dir).
+trace dir).  The default 16 batches of 500 Kbp mirror the reference's
+many-small-batches shape (fixed 512 KiB filters per batch,
+src/goldpolish_targeted_bfs.cpp:270-272): right-sized filters stay inside
+the 1 MiB MXU-probe budget, so the device scan and the fused site eval
+ride the int8 one-hot MXU path instead of HBM gathers.
 """
 
 import json
@@ -194,7 +198,8 @@ def engines_for(batches, backend: str):
     ]
 
 
-def _chain_fn(engines_by_batch, batches, procs, force_device=False):
+def _chain_fn(engines_by_batch, batches, procs, force_device=False,
+              shard_bases=1_000_000):
     """One multi-k editing chain pass over all batches (each k's output
     feeds the next — reference scripts/goldpolish-ntedit:20-29)."""
 
@@ -207,7 +212,8 @@ def _chain_fn(engines_by_batch, batches, procs, force_device=False):
             for engines, b in zip(engines_by_batch, batches):
                 cur = b.drafts
                 for eng in engines:
-                    results = eng.polish_many(cur, processes=procs)
+                    results = eng.polish_many(cur, processes=procs,
+                                              shard_bases=shard_bases)
                     cur = [out for out, _r, _e in results]
                     stats[0] += sum(e.n_subs for _o, _r, e in results)
                     stats[1] += sum(e.n_ins for _o, _r, e in results)
@@ -247,7 +253,8 @@ def _timed_interleaved(chains: dict, reps: int = 5):
     return best, outs
 
 
-def _pipeline_stream(batches, procs, fill: str, backend: str) -> float:
+def _pipeline_stream(batches, procs, fill: str, backend: str,
+                     shard_bases: int = 1_000_000) -> float:
     """Production-shaped stream: batch N+1's filters fill on a background
     thread (host-native or device scatter, per the fill A/B) while batch N
     polishes through freshly built engines (uploads included).  Returns
@@ -265,7 +272,8 @@ def _pipeline_stream(batches, procs, fill: str, backend: str) -> float:
             engines = engines_for([b], backend)[0]
             cur = b.drafts
             for eng in engines:
-                cur = [o for o, _r, _e in eng.polish_many(cur, processes=procs)]
+                cur = [o for o, _r, _e in eng.polish_many(
+                    cur, processes=procs, shard_bases=shard_bases)]
     return time.time() - t0
 
 
@@ -287,9 +295,12 @@ def main():
         on_accel = platform not in ("cpu",)
         backend = backend or ("hybrid" if on_accel else "numpy")
     n_bases = int(os.environ.get("GPTPU_BENCH_BASES", 8_000_000))
-    n_contigs = max(1, int(os.environ.get("GPTPU_BENCH_CONTIGS", 8)))
-    n_batches = max(1, int(os.environ.get("GPTPU_BENCH_BATCHES", 4)))
+    n_contigs = max(1, int(os.environ.get("GPTPU_BENCH_CONTIGS", 16)))
+    n_batches = max(1, int(os.environ.get("GPTPU_BENCH_BATCHES", 16)))
     procs = int(os.environ.get("GPTPU_BENCH_PROCS", os.cpu_count() or 1))
+    # sub-proc contigs shard at clean cut points so every arm keeps its
+    # cores busy even with one contig per batch
+    shard_bases = max(65_536, n_bases // n_contigs // max(1, procs) + 1)
 
     batches = build_scenario(n_bases, n_contigs, n_batches)
     total = sum(len(d) for b in batches for d in b.drafts)
@@ -306,7 +317,8 @@ def main():
     # measured reference baseline: ONE thread, host scan + native walk (the
     # reference algorithm at native speed) on batch 0
     host_engines = engines_for(batches, "numpy")
-    base_chain = _chain_fn(host_engines[:1], batches[:1], procs=1)
+    base_chain = _chain_fn(host_engines[:1], batches[:1], procs=1,
+                           shard_bases=shard_bases)
     t_1t, _ = _timed_chain(base_chain)
     base_bases = sum(len(d) for d in batches[0].drafts)
     rate_1t = base_bases / t_1t
@@ -318,7 +330,8 @@ def main():
     scan_detail = ""
     locks: dict = {}
     pipeline_rate = None
-    host_chain = _chain_fn(host_engines, batches, procs)
+    host_chain = _chain_fn(host_engines, batches, procs,
+                           shard_bases=shard_bases)
     if backend != "numpy":
         # device fill A/B (first batch bears XLA compiles; time batch 1+)
         dev_fill_ok = True
@@ -349,7 +362,8 @@ def main():
 
         dev_engines = engines_for(batches, backend)
         mark("hybrid engines built")
-        calibrate = _chain_fn(dev_engines, batches, procs)
+        calibrate = _chain_fn(dev_engines, batches, procs,
+                              shard_bases=shard_bases)
         for _ in range(4):  # A/B needs 2 device + 1 host samples, + lock
             calibrate()
             mark("calibration pass")
@@ -360,7 +374,8 @@ def main():
             "host": host_chain,
             "adaptive": calibrate,
             "forced_device": _chain_fn(dev_engines, batches, procs,
-                                       force_device=True),
+                                       force_device=True,
+                                       shard_bases=shard_bases),
         })
         if profile_dir:
             jax.profiler.stop_trace()
@@ -382,7 +397,8 @@ def main():
         chain_out = outs_map["adaptive" if rate_dev >= rate_host else "host"]
 
         # production-shaped pipeline stream (fills overlapped, winning fill)
-        t_pipe = _pipeline_stream(batches, procs, fill["placement"], backend)
+        t_pipe = _pipeline_stream(batches, procs, fill["placement"], backend,
+                                  shard_bases)
         pipeline_rate = total / t_pipe
         mark(f"pipeline stream done ({t_pipe:.2f}s, fill={fill['placement']})")
     else:
@@ -390,7 +406,8 @@ def main():
         rate_host = total / t_host
         rate_dev = rate_host
         arms["host_all"] = round(rate_host, 1)
-        t_pipe = _pipeline_stream(batches, procs, "host", "numpy")
+        t_pipe = _pipeline_stream(batches, procs, "host", "numpy",
+                                  shard_bases)
         pipeline_rate = total / t_pipe
     outs, chain_stats = chain_out
 

@@ -351,7 +351,13 @@ class DeviceBFS:
         return out
 
     def _run_tier(self, searches, W: int):
+        # the level loop's fixed per-iteration cost dominates thin searches,
+        # so the batch should swallow as many gaps as memory allows: one
+        # call for ALL gaps when possible (pow2 G keeps kernel-cache reuse
+        # across sweeps)
         G = self.G
+        while G < len(searches) and G < 512:
+            G *= 2
         out = []
         run = _build_kernel(self.k, self.h, self.bits, W, self.V, G)
         for lo in range(0, len(searches), G):

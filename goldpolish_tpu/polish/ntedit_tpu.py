@@ -597,10 +597,12 @@ class NtEditTPU:
                     mode = "host" if ab["locked"] == "device" else "device"
                 else:
                     mode = ab["locked"]
-            elif total < (1 << 20):
-                # sub-MB batches never record samples (too noisy to measure)
-                # and a host scan costs <30 ms — don't spend a device round
-                # trip on them without large-batch evidence
+            elif total < (3 << 17):
+                # tiny batches never record samples (too noisy to measure)
+                # and a host scan costs <15 ms — don't spend a device round
+                # trip on them without evidence.  The gate sits below the
+                # reference's ~512 Kbp batch grain so production-shaped
+                # batches DO get measured.
                 mode = "host"
             elif len(ab["device"]) < 2:
                 mode = "device"
@@ -611,7 +613,7 @@ class NtEditTPU:
                 res = self._polish_many_pipelined(seqs, processes, shard_bases)
             else:
                 res = self._polish_many_std(seqs, processes, shard_bases)
-            if total >= (1 << 20):
+            if total >= (3 << 17):
                 samples = ab[mode]
                 samples.append(total / max(_time.monotonic() - t0, 1e-9))
                 del samples[:-_AB_KEEP]

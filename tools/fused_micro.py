@@ -80,16 +80,26 @@ def main():
     cfg = ntedit_config_for_k(K)
     tables = siteeval.make_tables(K, cfg.jump, cfg.max_insertions,
                                   cfg.max_deletions)
-    for s_max in (1024, 2048, 4096):
-        ecfg = EvalConfig(
-            k=K, h=H, jump=cfg.jump, max_ins=cfg.max_insertions,
-            max_del=cfg.max_deletions, thr_edit=cfg.thr_edit,
-            thr_missing=cfg.thr_missing, s_max=s_max,
-        )
-        fused = FusedEval(ecfg, int(bf.bits), tables)
-        t = t_min(lambda c: fused(words, c), codes_arrs)
-        print(f"fused eval S={s_max:4d} {t*1e3:8.1f} ms  "
-              f"({n_win/t/1e6:6.1f} M win/s)")
+    probes = ["gather"]
+    planes = None
+    if int(bf.bits) <= scan_conv.MXU_PROBE_MAX_BITS and \
+            jax.devices()[0].platform == "tpu":
+        from goldpolish_tpu.ops import bloom_pallas
+
+        planes = jnp.asarray(bloom_pallas.words_to_planes_i8(bf.words_u32()))
+        probes.append("mxu")
+    for probe_kind in probes:
+        filt = planes if probe_kind == "mxu" else words
+        for s_max in (1024, 2048, 4096):
+            ecfg = EvalConfig(
+                k=K, h=H, jump=cfg.jump, max_ins=cfg.max_insertions,
+                max_del=cfg.max_deletions, thr_edit=cfg.thr_edit,
+                thr_missing=cfg.thr_missing, s_max=s_max,
+            )
+            fused = FusedEval(ecfg, int(bf.bits), tables, probe=probe_kind)
+            t = t_min(lambda c: fused(filt, c), codes_arrs)
+            print(f"fused eval {probe_kind:6s} S={s_max:4d} {t*1e3:8.1f} ms  "
+                  f"({n_win/t/1e6:6.1f} M win/s)")
 
     # raw gather-probe reference
     NV = 4_000_000
