@@ -30,11 +30,12 @@ the production configuration's polished bases/s/chip.
 Env knobs: GPTPU_BENCH_BASES (default 8M), GPTPU_BENCH_CONTIGS (default 16),
 GPTPU_BENCH_BATCHES (default 16), GPTPU_BENCH_PROCS (default cpu count),
 GPTPU_BENCH_BACKEND (numpy forces host-only), GPTPU_PROFILE (jax profiler
-trace dir).  The default 16 batches of 500 Kbp mirror the reference's
-many-small-batches shape (fixed 512 KiB filters per batch,
-src/goldpolish_targeted_bfs.cpp:270-272): right-sized filters stay inside
-the 1 MiB MXU-probe budget, so the device scan and the fused site eval
-ride the int8 one-hot MXU path instead of HBM gathers.
+trace dir).  Default 4 batches of 2 Mbp: measured best for every arm on
+this box — a 16x500 Kbp reference-grain variant (fixed 512 KiB filters,
+src/goldpolish_targeted_bfs.cpp:270-272, MXU-probe-eligible) was measured
+WORSE for host (9.1 vs 12.4 Mbp/s; 32 small polish_many calls) and no
+better for the device (the fused call is probe-issue-bound, and the MXU
+one-hot probe measured within 2% of the gather — tools/fused_micro.py).
 """
 
 import json
@@ -295,8 +296,8 @@ def main():
         on_accel = platform not in ("cpu",)
         backend = backend or ("hybrid" if on_accel else "numpy")
     n_bases = int(os.environ.get("GPTPU_BENCH_BASES", 8_000_000))
-    n_contigs = max(1, int(os.environ.get("GPTPU_BENCH_CONTIGS", 16)))
-    n_batches = max(1, int(os.environ.get("GPTPU_BENCH_BATCHES", 16)))
+    n_contigs = max(1, int(os.environ.get("GPTPU_BENCH_CONTIGS", 8)))
+    n_batches = max(1, int(os.environ.get("GPTPU_BENCH_BATCHES", 4)))
     procs = int(os.environ.get("GPTPU_BENCH_PROCS", os.cpu_count() or 1))
     # sub-proc contigs shard at clean cut points so every arm keeps its
     # cores busy even with one contig per batch
@@ -343,7 +344,9 @@ def main():
                 ).sum()) == 0
                 for hw, bf in zip(host_bf_words, batches[0].bfs)
             )
-            fill_dev = [b.fill_device() for b in batches[1:]] or [t_first]
+            # steady-state sample on a few batches (the first bears XLA
+            # compiles); extrapolate to the full batch count
+            fill_dev = [b.fill_device() for b in batches[1:4]] or [t_first]
             fill_device_s = sum(fill_dev) * len(batches) / max(len(fill_dev), 1)
             fill["device_s"] = round(fill_device_s, 2)
             fill["device_first_s"] = round(t_first, 2)
@@ -353,7 +356,7 @@ def main():
             fill["device_error"] = str(e)[:120]
             fill_device_s = float("inf")
         # restore the host-filled filters: arms A/B the SCAN, not the fill
-        for b in batches:
+        for b in batches[:4]:  # the A/B touched at most batches 0-3
             b.fill_host()
         mark("device fill A/B done")
         fill["placement"] = (

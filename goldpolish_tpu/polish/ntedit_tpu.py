@@ -230,7 +230,9 @@ class EditStats:
 # and the lock re-decides on the freshest samples, so one unlucky early
 # sample (this box's noise swings 2x) cannot freeze a long run.
 _AB_RUNS: dict = {}
-_AB_REPROBE = 10  # locked calls between fresh looks at the other arm
+_AB_REPROBE = 64  # locked calls between fresh looks at the other arm
+# (at the per-batch call grain a chain is dozens of calls; probing every
+# 10th taxed the adaptive arm ~3x with device round trips — measured)
 _AB_KEEP = 4      # freshest samples per arm considered for the decision
 
 
