@@ -68,11 +68,11 @@ def main():
                     continue
             except Exception:
                 continue
-            # untimed warmup call: XLA compiles (2 width tiers x 2 k)
+            # untimed warmup at the REAL gap count: the kernel batch size
+            # G adapts to it, so a small warmup would compile the wrong
+            # shapes and the timed run would pay them
             t0 = time.time()
-            sl.seal_records(
-                [("warm", draft[:40_000])], bfs_by_k, cfg, backend=backend
-            )
+            sl.seal_records(records, bfs_by_k, cfg, backend=backend)
             print(f"hybrid warmup (compiles): {time.time()-t0:.1f}s",
                   flush=True)
         if backend == "jax":
