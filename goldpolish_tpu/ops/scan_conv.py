@@ -373,13 +373,15 @@ class DeviceScanner:
 
     # -- fused phase-A (scan + hot-site detect + candidate eval) ------------
     def enable_eval(self, eval_cfg, site_tables, force: bool = False) -> None:
-        """Arm the fused scan+eval program (ops/scan_eval).  Single-device
-        by default: on a mesh the plain sharded scan keeps running and site
-        eval stays on the host (the fused program is not row-sharded yet).
-        force=True arms it anyway, running unsharded on the default device
-        (tests on the virtual CPU mesh; GPTPU_DEVICE_EVAL=1)."""
-        if self._mesh is not None and not force:
-            return
+        """Arm the fused scan+eval program (ops/scan_eval).
+
+        On a dp mesh the program shard_maps over scan rows exactly like the
+        plain scan (filter replicated): each device detects heads and
+        evaluates sites on its own row shard, and the outputs stack on a
+        leading shard axis that scan_eval_shards tells the consumer to
+        merge (per-shard site indices are shard-row-local).  force=True is
+        kept for CPU-mesh tests (GPTPU_DEVICE_EVAL=1) and now simply means
+        "arm even where a measured A/B would be pointless"."""
         from . import scan_eval
 
         # the eval inherits the scanner's probe engine: int8 MXU one-hot
@@ -390,15 +392,66 @@ class DeviceScanner:
             interpret=self._interpret,
         )
         self._eval_s_max = eval_cfg.s_max
+        self._eval_sharded = None
+        if self._mesh is not None:
+            from jax import shard_map
+            from jax.sharding import PartitionSpec as P
+
+            row = P("dp", None)
+            raw = self._eval.raw
+
+            def body(filt, codes):
+                (packed, n_sites, site, gate, sub, dele, lane, ok,
+                 ins) = raw(filt, codes)
+                # leading shard axis on the site-ish outputs (site indices
+                # stay SHARD-ROW-LOCAL; the consumer adds the row offset)
+                return (packed, n_sites[None], site[None], gate[None],
+                        sub[None], dele[None], lane[None], ok[None],
+                        ins[None])
+
+            sh = lambda *rest: P("dp", *rest)  # noqa: E731
+            self._eval_sharded = jax.jit(shard_map(
+                body, mesh=self._mesh,
+                in_specs=(P(), row),
+                out_specs=(row, sh(), sh(None), sh(None, None),
+                           sh(None, None), sh(None, None), sh(None),
+                           sh(None), sh(None, None)),
+                check_vma=False,
+            ))
 
     @property
     def eval_enabled(self) -> bool:
         return getattr(self, "_eval", None) is not None
 
+    @property
+    def eval_shards(self) -> int:
+        """Shard count of scan_eval_packed outputs (1 = unsharded).  When
+        >1, the site-ish outputs stack per shard: site u32[n*S] with
+        SHARD-ROW-LOCAL indices, n_sites i32[n], and the consumer maps
+        shard s, local row r to global row s*rows_per_shard + r."""
+        if getattr(self, "_eval_sharded", None) is not None:
+            return self.n_devices
+        return 1
+
     def scan_eval_packed(self, codes: np.ndarray, k: int):
         """Fused scan+eval call: codes u8 [R, L] -> 9-tuple of device arrays
-        (see scan_eval.build_fused).  Async like scan_packed."""
+        (see scan_eval.build_fused).  Async like scan_packed.  On a mesh
+        the rows shard over dp (padded to a multiple of the device count;
+        see eval_shards for the output layout)."""
         filt = self._planes if self._eval.probe == "mxu" else self._words
+        if getattr(self, "_eval_sharded", None) is not None:
+            codes = np.asarray(codes)
+            if codes.ndim == 1:
+                codes = codes[None, :]
+            b = codes.shape[0]
+            pad = (-b) % self.n_devices
+            if pad:
+                # pad rows with 'A': pad windows probe like real sequence
+                # and any heads they produce fall outside every segment
+                codes = np.pad(codes, ((0, pad), (0, 0)),
+                               constant_values=ord("A"))
+            codes = jax.device_put(codes, self._row_sharding)
+            return self._eval_sharded(filt, codes)
         return self._eval(filt, jnp.asarray(codes))
 
     @property

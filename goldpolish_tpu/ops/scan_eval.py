@@ -214,6 +214,13 @@ def _fused_cached(key: tuple, bits: int, k: int, jump: int, max_ins: int,
                        probe=probe, interpret=interpret)
 
 
+@functools.lru_cache(maxsize=32)
+def _fused_jitted(*args):
+    """Jitted twin of _fused_cached (one jit wrapper per program — fresh
+    wrappers re-trace, which is seconds for this graph)."""
+    return jax.jit(_fused_cached(*args))
+
+
 def build_fused(cfg: EvalConfig, bits: int, tables: SiteTables,
                 probe: str = "gather", interpret: bool = False):
     """Returns the jitted fused program: (filt, codes[R, L]) -> outputs.
@@ -464,7 +471,7 @@ def build_fused(cfg: EvalConfig, bits: int, tables: SiteTables,
         return (packed, n_sites, site, gate.astype(jnp.uint8),
                 sub_sup, del_sup, ins_lane, ins_ok, ins_sup)
 
-    return jax.jit(run)
+    return run  # raw (FusedEval jits; DeviceScanner may shard_map first)
 
 
 class FusedEval:
@@ -479,10 +486,10 @@ class FusedEval:
         self.bits = bits
         self.tables = tables
         self.probe = probe
-        self._run = _fused_cached(
-            cfg.key(), bits, cfg.k, cfg.jump, cfg.max_ins, cfg.max_del,
-            probe, interpret,
-        )
+        args = (cfg.key(), bits, cfg.k, cfg.jump, cfg.max_ins, cfg.max_del,
+                probe, interpret)
+        self.raw = _fused_cached(*args)
+        self._run = _fused_jitted(*args)
 
     def __call__(self, filt, codes):
         return self._run(filt, codes)

@@ -220,6 +220,32 @@ class ScanPipe:
                 if eval_mode:
                     (packed, _n_sites, site, gate, sub_sup, del_sup,
                      ins_lane, ins_ok, ins_sup) = (np.asarray(x) for x in fut)
+                    if site.ndim == 2:
+                        # mesh-sharded call: site-ish outputs carry a
+                        # leading shard axis with SHARD-ROW-LOCAL indices;
+                        # merge into one globally-ascending site array
+                        n_sh = site.shape[0]
+                        rows_per = packed.shape[0] // n_sh
+                        parts_i = []
+                        keep_rows = []
+                        for sh in range(n_sh):
+                            v = site[sh][site[sh] >= 0]
+                            parts_i.append(v + sh * rows_per * nw_row)
+                            keep_rows.append(
+                                np.arange(len(v)) + sh * site.shape[1]
+                            )
+                        rows_sel = np.concatenate(keep_rows).astype(np.int64)
+                        site = np.concatenate(parts_i).astype(site.dtype)
+                        gate = gate.reshape(-1, 4)[rows_sel]
+                        sub_sup = sub_sup.reshape(-1, 4)[rows_sel]
+                        del_sup = del_sup.reshape(
+                            n_sh * del_sup.shape[1], -1
+                        )[rows_sel]
+                        ins_lane = ins_lane.reshape(-1)[rows_sel]
+                        ins_ok = ins_ok.reshape(-1)[rows_sel]
+                        ins_sup = ins_sup.reshape(
+                            n_sh * ins_sup.shape[1], -1
+                        )[rows_sel]
                 else:
                     packed = np.asarray(fut)  # blocks for THIS call only
                 dt = time.perf_counter() - t0
