@@ -19,10 +19,15 @@ Graph/ConstrainedBidiBFSVisitor.h):
    consensus (fill/nw.py) for multiple paths,
  * flank overlay + mismatch count (maskNew semantics).
 
-Vertices are kmer strings (host path).  The per-step 4-way extension probes
-are vectorized with the closed-form hash; a device-batched multi-gap
-frontier kernel is the planned optimization (the BF probe math is shared
-with the ntEdit engine).
+Vertices are 2-bit PACKED k-mers (Python ints, ops/kmers — the reference's
+packed Kmer, Common/Kmer.h:58-144) whenever the anchors are pure ACGT and
+the graph is the host probing DBG or the device-mask replay: BFS state,
+color/depth maps and traversal DAGs key on ints, children are O(1) shifts,
+and the native 4-way probe takes the packed word directly (gp_extend4p).
+Anchors containing N/IUPAC/lowercase keep k-char string vertices (packing
+would alias distinct vertices) — the search logic is vertex-type-agnostic,
+so both representations share one implementation and produce identical
+results (pinned by tests/test_packed_kmers.py).
 """
 
 from __future__ import annotations
@@ -32,6 +37,7 @@ from dataclasses import dataclass, field
 import numpy as np
 
 from ..ops import nthash as nt
+from ..ops import kmers as km
 
 NO_MATCH = -1
 NO_LIMIT = 0xFFFFFFFF
@@ -144,6 +150,64 @@ class DBG:
             if bf.contains_tuple(nt.multi_hashes_i(fh, rh, k, h)):
                 out.append(b + suffix)
         return out
+
+
+class PackedDBG:
+    """Int-vertex adjacency view over a probing DBG.
+
+    Vertices are 2-bit packed k-mers (ops/kmers; reference
+    Common/Kmer.h:58-144 packed Kmer role): successors/predecessors take
+    and return Python ints, children are O(1) shift arithmetic, and the
+    4-way Bloom probe is one native call on the packed word
+    (gp_extend4p) — no string allocation anywhere in the BFS inner loop.
+    Adjacency answers are identical to the string DBG's for pure-ACGT
+    vertices (the only ones _prepare_search lets in here)."""
+
+    def __init__(self, dbg: DBG):
+        self.dbg = dbg
+        self.k = dbg.k
+        self.h = dbg.h
+        self.kmask = (1 << (2 * self.k)) - 1
+        self.top = 2 * (self.k - 1)
+        self._fn = None
+        if dbg._ext4 is not None and self.k <= 32:
+            try:
+                from .. import native
+
+                self._fn = native.bind_extend4p()
+                self._bf = dbg._ext4_bf
+                self._bytes = dbg.bf.bytes
+            except Exception:  # noqa: BLE001 — string fallback below
+                self._fn = None
+
+    def successors(self, v: int) -> list[int]:
+        if self._fn is not None:
+            m = self._fn(v, self.k, self.h, self._bf, self._bytes, 1)
+        else:
+            m = 0
+            for c in self.dbg.successors(km.unpack_kmer(v, self.k)):
+                m |= 1 << int(km.BASE_CODE[ord(c[-1])])
+        base = (v << 2) & self.kmask
+        return [base | b for b in range(4) if m >> b & 1]
+
+    def predecessors(self, v: int) -> list[int]:
+        if self._fn is not None:
+            m = self._fn(v, self.k, self.h, self._bf, self._bytes, 0)
+        else:
+            m = 0
+            for c in self.dbg.predecessors(km.unpack_kmer(v, self.k)):
+                m |= 1 << int(km.BASE_CODE[ord(c[0])])
+        base = v >> 2
+        return [base | (b << self.top) for b in range(4) if m >> b & 1]
+
+
+def _packed_view(dbg: DBG) -> PackedDBG:
+    """One shared PackedDBG per DBG (binds the native symbol once)."""
+    view = getattr(dbg, "_packed", None)
+    if view is None:
+        view = PackedDBG(dbg)
+        dbg._packed = view
+    return view
 
 
 class DeviceDBG(DBG):
@@ -327,10 +391,15 @@ class _BidiSearch:
 
     MEM_COUNTER_ROLLOVER = 1000  # reference ConstrainedBidiBFSVisitor.h:344
 
-    def __init__(self, dbg: DBG, start: str, goal: str, max_paths: int,
+    def __init__(self, dbg, start, goal, max_paths: int,
                  min_path_len: int, max_path_len: int, max_branches: int,
                  max_cost: int, mem_limit: int = NO_LIMIT):
+        # dbg is any adjacency provider (DBG / PackedDBG / MaskDBG /
+        # DeviceDBG); start/goal are its vertex type (packed int or str) —
+        # the search treats vertices opaquely, so both representations run
+        # the exact same bookkeeping.
         self.dbg = dbg
+        self.k = dbg.k
         self.start = start
         self.goal = goal
         self.max_paths = max_paths
@@ -360,8 +429,10 @@ class _BidiSearch:
         """Approximate visitor memory (bytes): the Python analogue of the
         reference's approxMemUsage (traversal HashGraphs + depth maps,
         ConstrainedBidiBFSVisitor.h:275-282, HashGraph.h:52-62).  Entry
-        costs model CPython dict slots + the k-char vertex strings."""
-        k = len(self.start)
+        costs model CPython dict slots + the k-char vertex strings (the
+        same formula for packed-int vertices: the abort point must not
+        depend on the vertex representation)."""
+        k = self.k
         per_vertex = 160 + k  # dict slot + key str + depth int
         per_edge = 60 + k     # adjacency-list slot + held vertex str
         n_vertices = len(self.depth[0]) + len(self.depth[1])
@@ -599,9 +670,14 @@ class _BidiSearch:
         return overall, found
 
 
-def path_to_seq(path: list[str], k: int) -> str:
-    """Kmer path -> sequence (reference DBGBloomAlgorithms.h pathToSeq)."""
-    return path[0] + "".join(km[-1] for km in path[1:])
+def path_to_seq(path: list, k: int) -> str:
+    """Kmer path -> sequence (reference DBGBloomAlgorithms.h pathToSeq).
+    Accepts either vertex representation (packed ints or strings)."""
+    if isinstance(path[0], int):
+        return km.unpack_kmer(path[0], k) + "".join(
+            "ACGT"[v & 3] for v in path[1:]
+        )
+    return path[0] + "".join(kk[-1] for kk in path[1:])
 
 
 def mask_new(read1: str, read2: str, merged: str) -> tuple[str, int]:
@@ -695,11 +771,25 @@ def _prepare_search(dbg: DBG, read1: str, read2: str,
     if start_kmer == goal_kmer:
         res.path_result = "FOUND_PATH"
         return res, None
+    # packed-int vertices whenever the representation is a bijection and
+    # the graph is the plain probing DBG (DeviceDBG keeps its string
+    # lockstep protocol); dirty anchors (N/IUPAC) keep string vertices
+    graph: object = dbg
+    start_v: object = start_kmer
+    goal_v: object = goal_kmer
+    if (type(dbg) is DBG and km.is_packable(start_kmer)
+            and km.is_packable(goal_kmer)):
+        graph = _packed_view(dbg)
+        start_v = km.pack_kmer(start_kmer)
+        goal_v = km.pack_kmer(goal_kmer)
     search = _BidiSearch(
-        dbg, start_kmer, goal_kmer, params.max_paths, min_path_len,
+        graph, start_v, goal_v, params.max_paths, min_path_len,
         max_path_len, params.max_branches, params.max_cost,
         mem_limit=params.mem_limit,
     )
+    search.start_str = start_kmer
+    search.goal_str = goal_kmer
+    search.packed = graph is not dbg
     return res, search
 
 
@@ -770,32 +860,35 @@ def connect_pairs(dbg: DBG, read1: str, read2: str, params: ConnectPairsParams) 
 
 class MaskDBG:
     """DBG view over precomputed 4-bit extension masks (ops/dbg_bfs device
-    kernel output).  Membership answers are identical to the probing DBG's
-    for every vertex the kernel visited; a lookup outside that set marks
-    `missed` and the caller re-runs the search on the probing DBG — the
-    exactness shield for kernel-capacity corner cases."""
+    kernel output), keyed by PACKED k-mers — the host replay's vertex type.
+    Membership answers are identical to the probing DBG's for every vertex
+    the kernel visited; a lookup outside that set marks `missed` and the
+    caller re-runs the search on the probing DBG — the exactness shield
+    for kernel-capacity corner cases."""
 
     def __init__(self, k: int, succ: dict, pred: dict):
         self.k = k
+        self.kmask = (1 << (2 * k)) - 1
+        self.top = 2 * (k - 1)
         self.succ = succ
         self.pred = pred
         self.missed = False
 
-    def successors(self, kmer: str) -> list[str]:
-        m = self.succ.get(kmer)
+    def successors(self, v: int) -> list[int]:
+        m = self.succ.get(v)
         if m is None:
             self.missed = True
             return []
-        prefix = kmer[1:]
-        return [prefix + b for i, b in enumerate("ACGT") if m >> i & 1]
+        base = (v << 2) & self.kmask
+        return [base | b for b in range(4) if m >> b & 1]
 
-    def predecessors(self, kmer: str) -> list[str]:
-        m = self.pred.get(kmer)
+    def predecessors(self, v: int) -> list[int]:
+        m = self.pred.get(v)
         if m is None:
             self.missed = True
             return []
-        suffix = kmer[:-1]
-        return [b + suffix for i, b in enumerate("ACGT") if m >> i & 1]
+        base = v >> 2
+        return [base | (b << self.top) for b in range(4) if m >> b & 1]
 
 
 def connect_pairs_batch_masks(dbg: DBG, pairs: list[tuple[str, str]],
@@ -810,8 +903,16 @@ def connect_pairs_batch_masks(dbg: DBG, pairs: list[tuple[str, str]],
     kernel capacity overflows (and any mask miss) re-run natively."""
     prepared = [_prepare_search(dbg, r1, r2, params) for r1, r2 in pairs]
     live = [(i, s) for i, (_res, s) in enumerate(prepared) if s is not None]
+    # string-vertex searches (dirty anchors — packing would alias
+    # vertices) run natively; the common pure-ACGT case replays device
+    # masks on packed vertices
+    for _i, s in live:
+        if not s.packed:
+            s.run()
+    live = [(i, s) for i, s in live if s.packed]
     masks = device_bfs.run(
-        [(s.start, s.goal, s.max_depth[0], s.max_depth[1]) for _i, s in live]
+        [(s.start_str, s.goal_str, s.max_depth[0], s.max_depth[1])
+         for _i, s in live]
     ) if live else []
     for (i, s), (succ, pred) in zip(live, masks):
         redo = succ is None
@@ -823,8 +924,8 @@ def connect_pairs_batch_masks(dbg: DBG, pairs: list[tuple[str, str]],
         if redo:
             res = prepared[i][0]
             s2 = _BidiSearch(
-                dbg, s.start, s.goal, s.max_paths, s.min_path_len,
-                s.max_path_len, s.max_branches, s.max_cost,
+                _packed_view(dbg), s.start, s.goal, s.max_paths,
+                s.min_path_len, s.max_path_len, s.max_branches, s.max_cost,
                 mem_limit=s.mem_limit,
             )
             s2.run()

@@ -223,6 +223,22 @@ def extend4(kmer: bytes, hash_num: int, bf, forward: bool) -> int:
     )
 
 
+def bind_extend4p():
+    """Raw gp_extend4p symbol (packed-u64 vertex 4-way extension probe),
+    argtypes configured once.  The caller holds the bound function + a
+    prepared filter pointer so the per-call overhead is one ctypes
+    invocation (konnector.PackedDBG)."""
+    L = lib()
+    if not hasattr(L, "gp_extend4p_configured"):
+        L.gp_extend4p.argtypes = [
+            ctypes.c_uint64, ctypes.c_uint32, ctypes.c_uint32,
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_uint64, ctypes.c_int32,
+        ]
+        L.gp_extend4p.restype = ctypes.c_int32
+        L.gp_extend4p_configured = True
+    return L.gp_extend4p
+
+
 def sketch(seq_codes: np.ndarray, k: int, w: int):
     """(positions, hashes) minimizer sketch in one native call (all-window
     canonical hashing + cover-max selection; see mapper.minimizer_sketch)."""

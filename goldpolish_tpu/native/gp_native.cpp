@@ -2196,4 +2196,20 @@ int32_t gp_extend4(const uint8_t* kmer, uint32_t k, uint32_t hash_num,
   return mask;
 }
 
+// Packed-vertex variant of gp_extend4 for the host search's 2-bit packed
+// k-mer vertices (ops/kmers.py; the reference's packed Kmer role,
+// Konnector vertices = Common/Kmer.h:58-144): kmer is a uint64 with the
+// first base in the HIGH bits, A=0 C=1 G=2 T=3, k <= 32.  Unpacks to
+// ASCII on the stack and reuses the string probe — the unpack is 32 table
+// reads, dwarfed by the 4*h Bloom probes.
+int32_t gp_extend4p(uint64_t kmer, uint32_t k, uint32_t hash_num,
+                    const uint8_t* bf, uint64_t bf_bytes, int32_t forward) {
+  if (k < 2 || k > 32) return -1;
+  static const uint8_t BASES[4] = {'A', 'C', 'G', 'T'};
+  uint8_t buf[32];
+  for (uint32_t i = 0; i < k; i++)
+    buf[i] = BASES[(kmer >> (2 * (k - 1 - i))) & 3];
+  return gp_extend4(buf, k, hash_num, bf, bf_bytes, forward);
+}
+
 }  // extern "C"

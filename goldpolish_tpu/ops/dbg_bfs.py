@@ -38,30 +38,12 @@ import jax.numpy as jnp
 from . import nthash as nt
 from . import nthash_jax as ntj
 
-# base codes 0..3 = A, C, G, T
-BASES = b"ACGT"
-_BASE_CODE = np.full(256, 255, np.uint8)
-for _i, _b in enumerate(BASES):
-    _BASE_CODE[_b] = _i
-    _BASE_CODE[_b + 32] = _i
+# base codes 0..3 = A, C, G, T; codec shared with the host packed search
+# (ops/kmers — the reference Common/Kmer.h role)
+from .kmers import BASES, pack_kmer, unpack_kmer  # noqa: F401 (re-export)
 
 _FSEED4 = np.array([nt.SEED_TAB[b] for b in BASES], np.uint64)
 _RSEED4 = np.array([nt.RC_SEED_TAB[b] for b in BASES], np.uint64)
-
-
-def pack_kmer(kmer: str) -> int:
-    """2-bit pack (ACGT -> 0..3), first base in the HIGH bits."""
-    v = 0
-    for c in kmer.encode():
-        v = (v << 2) | int(_BASE_CODE[c])
-    return v
-
-
-def unpack_kmer(v: int, k: int) -> str:
-    out = []
-    for i in range(k):
-        out.append(chr(BASES[(v >> (2 * (k - 1 - i))) & 3]))
-    return "".join(out)
 
 
 def _srol_const(v, n: int):
@@ -392,11 +374,11 @@ class DeviceBFS:
                 pair = []
                 for d in range(2):
                     nv = int(n_vis[i, d])
-                    ks = vis[i, d, :nv]
-                    ms = msk[i, d, :nv]
-                    pair.append({
-                        unpack_kmer(int(kk), self.k): int(mm)
-                        for kk, mm in zip(ks, ms)
-                    })
+                    # dicts key on PACKED ints — the host search's vertex
+                    # type (fill/konnector.PackedDBG) — so the replay does
+                    # zero string conversions
+                    pair.append(dict(zip(
+                        vis[i, d, :nv].tolist(), msk[i, d, :nv].tolist()
+                    )))
                 out.append((pair[0], pair[1]))
         return out

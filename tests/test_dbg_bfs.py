@@ -33,7 +33,8 @@ def _genome_bf(n=20_000, seed=2):
 def _ref_masks(dbg: DBG, seed_kmer: str, max_depth: int, forward: bool):
     """Reference host BFS: every vertex reachable within max_depth and its
     4-bit extension mask (mask computed for every visited vertex, children
-    followed only below the cap)."""
+    followed only below the cap).  Keys are PACKED k-mers — the kernel's
+    (and the host replay's) vertex type."""
     masks = {}
     depth = {seed_kmer: 0}
     q = deque([seed_kmer])
@@ -44,7 +45,7 @@ def _ref_masks(dbg: DBG, seed_kmer: str, max_depth: int, forward: bool):
         for v in nbrs:
             b = v[-1] if forward else v[0]
             m |= 1 << "ACGT".index(b)
-        masks[u] = m
+        masks[pack_kmer(u)] = m
         if depth[u] < max_depth:
             for v in nbrs:
                 if v not in depth:
