@@ -36,6 +36,28 @@ DEFAULT_HASH_NUM = 4
 _MAGIC = "GPTPU_BF1"
 
 
+def _alloc_u8(nbytes: int) -> np.ndarray:
+    """Zeroed uint8 array for filter storage, huge-page-backed when large.
+
+    The fill loop (native fill_read_one_k) is random-access bound over the
+    CBF+BF working set (~56 MiB at production sizes for a 4-k sweep); on
+    4 KiB pages nearly every probe also misses the dTLB and pays a page
+    walk.  An anonymous mmap with MADV_HUGEPAGE (honored under THP
+    'madvise' mode) measured ~1.1x on the single-thread fill.  The mmap
+    object stays alive as the array's .base; falls back to np.zeros when
+    mmap/madvise is unavailable."""
+    if nbytes >= (2 << 20):
+        try:
+            import mmap
+
+            m = mmap.mmap(-1, nbytes)
+            m.madvise(mmap.MADV_HUGEPAGE)
+            return np.frombuffer(m, dtype=np.uint8)
+        except (OSError, ValueError, AttributeError):
+            pass
+    return np.zeros(nbytes, dtype=np.uint8)
+
+
 class BloomFilter:
     """Plain Bloom filter over precomputed 64-bit hash tuples."""
 
@@ -45,7 +67,7 @@ class BloomFilter:
         self._bits_i = self.bytes * 8
         self.hash_num = int(hash_num)
         self.k = int(k)
-        self.array = np.zeros(self.bytes, dtype=np.uint8)
+        self.array = _alloc_u8(self.bytes)
 
     # -- host path ------------------------------------------------------------
     def insert(self, hashes: np.ndarray) -> None:
@@ -121,7 +143,7 @@ class CountingBloomFilter8:
         self.size = np.uint64(self.bytes)  # one uint8 counter per byte
         self.hash_num = int(hash_num)
         self.k = int(k)
-        self.counters = np.zeros(self.bytes, dtype=np.uint8)
+        self.counters = _alloc_u8(self.bytes)
 
     def contains(self, hashes: np.ndarray) -> np.ndarray:
         """Minimum counter over the hash slots; hashes uint64[..., hash_num]."""
