@@ -181,9 +181,10 @@ class PackedDBG:
                 self._fn = None
 
     def successors(self, v: int) -> list[int]:
+        m = -1
         if self._fn is not None:
             m = self._fn(v, self.k, self.h, self._bf, self._bytes, 1)
-        else:
+        if m < 0:  # no binding, or native param-range sentinel (k<2, h>16)
             m = 0
             for c in self.dbg.successors(km.unpack_kmer(v, self.k)):
                 m |= 1 << int(km.BASE_CODE[ord(c[-1])])
@@ -191,9 +192,10 @@ class PackedDBG:
         return [base | b for b in range(4) if m >> b & 1]
 
     def predecessors(self, v: int) -> list[int]:
+        m = -1
         if self._fn is not None:
             m = self._fn(v, self.k, self.h, self._bf, self._bytes, 0)
-        else:
+        if m < 0:  # no binding, or native param-range sentinel (k<2, h>16)
             m = 0
             for c in self.dbg.predecessors(km.unpack_kmer(v, self.k)):
                 m |= 1 << int(km.BASE_CODE[ord(c[0])])

@@ -50,11 +50,20 @@ def _alloc_u8(nbytes: int) -> np.ndarray:
         try:
             import mmap
 
-            m = mmap.mmap(-1, nbytes)
-            m.madvise(mmap.MADV_HUGEPAGE)
-            return np.frombuffer(m, dtype=np.uint8)
+            # MAP_PRIVATE matters twice over: THP under shmem_enabled=never
+            # ignores MADV_HUGEPAGE on MAP_SHARED|MAP_ANONYMOUS (the
+            # mmap.mmap(-1, n) default), and MAP_SHARED would turn fork-pool
+            # COW into live cross-process mutation of filter arrays.
+            m = mmap.mmap(
+                -1, nbytes, flags=mmap.MAP_PRIVATE | mmap.MAP_ANONYMOUS
+            )
         except (OSError, ValueError, AttributeError):
-            pass
+            return np.zeros(nbytes, dtype=np.uint8)
+        try:
+            m.madvise(mmap.MADV_HUGEPAGE)
+        except (OSError, AttributeError):
+            pass  # advice failed; the mmap itself is still fine to use
+        return np.frombuffer(m, dtype=np.uint8)
     return np.zeros(nbytes, dtype=np.uint8)
 
 
