@@ -41,7 +41,14 @@ COUNTER_NAMES = [
     "noStartOrGoalKmer", "noPath", "uniquePath", "multiplePaths",
     "tooManyPaths", "tooManyBranches", "tooManyMismatches",
     "tooManyReadMismatches", "containsCycle", "maxCostExceeded",
-    "exceededMemLimit", "skipped",
+    "exceededMemLimit",
+    # Konnector-heritage fields: the reference declares and zeroes these
+    # per k (sealer.cpp:241-243, :603-605) but its sealer flow never
+    # increments or prints them — its merge() path maps memory exhaustion
+    # to exceededMemLimit (:503) and has no read-pair stage.  They are
+    # carried here (always 0) for struct-level counter parity.
+    "traversalMemExceeded", "readPairsProcessed", "readPairsMerged",
+    "skipped",
 ]
 
 

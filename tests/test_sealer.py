@@ -121,6 +121,25 @@ def test_seal_records_fills_masked_gap():
     assert sealed[500:560].upper() == truth[500:560]
 
 
+def test_seal_counter_struct_parity():
+    """Per-k counter reports carry all 15 reference Counters fields
+    (sealer.cpp:229-245), including the three konnector-heritage fields
+    the reference zeroes per k but never increments (:603-605)."""
+    rng = np.random.default_rng(3)
+    truth = _genome(rng, 1200)
+    ks = [32, 28]
+    bfs = {k: _bf_from(truth, k=k) for k in ks}
+    draft = truth[:500] + truth[500:560].lower() + truth[560:]
+    cfg = sealer.SealerConfig(k_values=ks, flank_length=32)
+    _, stats = sealer.seal_records([("ctg1", draft)], bfs, cfg)
+    assert len(sealer.COUNTER_NAMES) == 15
+    for k in ks:
+        assert set(stats[k]) == set(sealer.COUNTER_NAMES)
+        for name in ("traversalMemExceeded", "readPairsProcessed",
+                     "readPairsMerged"):
+            assert stats[k][name] == 0
+
+
 def test_seal_records_unclosable_gap_left_alone():
     rng = np.random.default_rng(4)
     truth = _genome(rng, 600)
