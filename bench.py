@@ -228,30 +228,25 @@ def _chain_fn(engines_by_batch, batches, procs, force_device=False,
     return chain
 
 
-def _timed_chain(chain, reps=3):
-    chain()  # warmup (compiles, pools)
-    dt = float("inf")
-    out = None
-    for _ in range(reps):
-        t0 = time.time()
-        out = chain()
-        dt = min(dt, time.time() - t0)
-    return dt, out
-
-
 def _timed_interleaved(chains: dict, reps: int = 5):
-    """min-of-reps for several configs with the reps INTERLEAVED in time —
-    arms timed in separate windows are incomparable on this box."""
+    """Paired min-of-reps for several configs with the reps INTERLEAVED in
+    time — arms timed in separate windows are incomparable on this box
+    (identical runs swing 2x with neighbor noise).  Returns per-arm
+    {"min": s, "max": s, "n": reps} so the committed artifact records the
+    spread, plus the last outputs."""
     outs = {}
-    best = {name: float("inf") for name in chains}
+    spread = {name: {"min": float("inf"), "max": 0.0, "n": reps}
+              for name in chains}
     for name, c in chains.items():  # warmups (compiles, pools)
         outs[name] = c()
     for _ in range(reps):
         for name, c in chains.items():
             t0 = time.time()
             outs[name] = c()
-            best[name] = min(best[name], time.time() - t0)
-    return best, outs
+            dt = time.time() - t0
+            spread[name]["min"] = min(spread[name]["min"], dt)
+            spread[name]["max"] = max(spread[name]["max"], dt)
+    return spread, outs
 
 
 def _pipeline_stream(batches, procs, fill: str, backend: str,
@@ -316,17 +311,15 @@ def main():
     mark(f"host fill done ({fill_host_s:.2f}s)")
 
     # measured reference baseline: ONE thread, host scan + native walk (the
-    # reference algorithm at native speed) on batch 0
+    # reference algorithm at native speed) on batch 0 — timed INSIDE the
+    # interleaved window below so vs_baseline is a paired comparison
     host_engines = engines_for(batches, "numpy")
     base_chain = _chain_fn(host_engines[:1], batches[:1], procs=1,
                            shard_bases=shard_bases)
-    t_1t, _ = _timed_chain(base_chain)
     base_bases = sum(len(d) for d in batches[0].drafts)
-    rate_1t = base_bases / t_1t
-    mark("baseline_1t done")
 
     fill = {"host_s": round(fill_host_s, 2)}
-    arms = {"baseline_1t": round(rate_1t, 1)}
+    arms: dict = {}
     scan = "host"
     scan_detail = ""
     locks: dict = {}
@@ -373,7 +366,8 @@ def main():
         profile_dir = os.environ.get("GPTPU_PROFILE")
         if profile_dir:
             jax.profiler.start_trace(profile_dir)
-        best, outs_map = _timed_interleaved({
+        spread, outs_map = _timed_interleaved({
+            "baseline_1t": base_chain,
             "host": host_chain,
             "adaptive": calibrate,
             "forced_device": _chain_fn(dev_engines, batches, procs,
@@ -384,16 +378,25 @@ def main():
             jax.profiler.stop_trace()
             print(f"# jax profiler trace -> {profile_dir}", file=sys.stderr)
         mark("interleaved timing done")
-        rate_host = total / best["host"]
-        rate_dev = total / best["adaptive"]
+        rate_1t = base_bases / spread["baseline_1t"]["min"]
+        rate_host = total / spread["host"]["min"]
+        rate_dev = total / spread["adaptive"]["min"]
+        arms["baseline_1t"] = round(rate_1t, 1)
         arms["host_all"] = round(rate_host, 1)
         arms["adaptive"] = round(rate_dev, 1)
-        arms["forced_device"] = round(total / best["forced_device"], 1)
+        arms["forced_device"] = round(
+            total / spread["forced_device"]["min"], 1
+        )
+        arm_spread = {
+            name: {"min_s": round(s["min"], 3), "max_s": round(s["max"], 3),
+                   "n": s["n"]}
+            for name, s in spread.items()
+        }
         from goldpolish_tpu.polish import ntedit_tpu as _nt
 
         locks = {
-            f"k{k_}": ab.get("locked") or "device"
-            for (k_, _h, _p), ab in _nt._AB_RUNS.items()
+            f"k{key[0]}": ab.get("locked") or "device"
+            for key, ab in _nt._AB_RUNS.items()
         }
         scan = "device" if any(v == "device" for v in locks.values()) else "host"
         scan_detail = ",".join(f"{k_}={v}" for k_, v in sorted(locks.items()))
@@ -405,10 +408,21 @@ def main():
         pipeline_rate = total / t_pipe
         mark(f"pipeline stream done ({t_pipe:.2f}s, fill={fill['placement']})")
     else:
-        t_host, chain_out = _timed_chain(host_chain)
-        rate_host = total / t_host
+        spread, outs_map = _timed_interleaved({
+            "baseline_1t": base_chain,
+            "host": host_chain,
+        })
+        rate_1t = base_bases / spread["baseline_1t"]["min"]
+        rate_host = total / spread["host"]["min"]
         rate_dev = rate_host
+        arms["baseline_1t"] = round(rate_1t, 1)
         arms["host_all"] = round(rate_host, 1)
+        arm_spread = {
+            name: {"min_s": round(s["min"], 3), "max_s": round(s["max"], 3),
+                   "n": s["n"]}
+            for name, s in spread.items()
+        }
+        chain_out = outs_map["host"]
         t_pipe = _pipeline_stream(batches, procs, "host", "numpy",
                                   shard_bases)
         pipeline_rate = total / t_pipe
@@ -435,6 +449,7 @@ def main():
         "unit": "bases/s/chip",
         "vs_baseline": round(headline / rate_1t, 3),
         "arms": arms,
+        "arm_spread": arm_spread,
         "locks": locks,
         "fill": fill,
         "pipeline_rate": round(pipeline_rate, 1) if pipeline_rate else None,

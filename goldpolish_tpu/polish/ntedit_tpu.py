@@ -222,18 +222,22 @@ class EditStats:
     n_table_giveups: int = 0
 
 
-# A/B placement samples for polish_many: {(k, h, probe): {"device": [rates],
-# "host": [rates], "locked": mode|None, "since": n}} — shared across engine
-# instances so per-batch engines (the production pipeline builds fresh ones
-# per batch) converge after a couple of batches per k.  A lock is NOT
-# permanent: every _AB_REPROBE-th locked-mode call runs the other arm once
-# and the lock re-decides on the freshest samples, so one unlucky early
-# sample (this box's noise swings 2x) cannot freeze a long run.
+# A/B placement samples for polish_many, keyed by WORKLOAD CLASS
+# (k, h, probe kind, filter-size bucket, batch-grain bucket):
+# {"device": [rates], "host": [rates], "locked": mode|None} — shared across
+# engine instances so per-batch engines (the production pipeline builds
+# fresh ones per batch) converge after a couple of batches per k.  A lock
+# is permanent FOR ITS CLASS: once both arms have samples the faster locks
+# and the gate costs nothing thereafter (adaptive must never lose to its
+# best arm — a periodic re-probe of the losing arm was measured costing
+# ~3% of the locked arm at the per-batch grain).  A change in k, filter
+# size, or batch grain is a new class and re-measures; noise robustness
+# comes from best-of sampling (noise only ever slows an arm down) plus
+# _AB_MIN_SAMPLES per arm before the lock decision.
 _AB_RUNS: dict = {}
-_AB_REPROBE = 64  # locked calls between fresh looks at the other arm
-# (at the per-batch call grain a chain is dozens of calls; probing every
-# 10th taxed the adaptive arm ~3x with device round trips — measured)
-_AB_KEEP = 4      # freshest samples per arm considered for the decision
+_AB_MIN_SAMPLES = 2   # device samples before host gets a look (first
+                      # device call bears XLA compiles)
+_AB_KEEP = 4          # freshest samples per arm considered for the decision
 
 
 # Persistent-pool worker caches: engines keyed by (bf share path, cfg blob).
@@ -585,20 +589,18 @@ class NtEditTPU:
             import time as _time
 
             total = sum(len(s) for s in seqs)
-            key = (self.cfg.k, self.cfg.h, self._scanner.probe)
+            key = (
+                self.cfg.k, self.cfg.h, self._scanner.probe,
+                self.bf.bytes.bit_length(),       # filter-size bucket
+                max(0, total.bit_length() - 1) // 2,  # grain bucket (4x)
+            )
             ab = _AB_RUNS.setdefault(
-                key, {"device": [], "host": [], "locked": None, "since": 0}
+                key, {"device": [], "host": [], "locked": None}
             )
             if _os.environ.get("GPTPU_FORCE_DEVICE_SCAN"):
                 mode = "device"
             elif ab["locked"]:
-                ab["since"] += 1
-                if ab["since"] % _AB_REPROBE == 0:
-                    # periodic re-probe of the unlocked arm: the sample it
-                    # records below lets the lock flip if conditions changed
-                    mode = "host" if ab["locked"] == "device" else "device"
-                else:
-                    mode = ab["locked"]
+                mode = ab["locked"]
             elif total < (3 << 17):
                 # tiny batches never record samples (too noisy to measure)
                 # and a host scan costs <15 ms — don't spend a device round
@@ -606,8 +608,10 @@ class NtEditTPU:
                 # reference's ~512 Kbp batch grain so production-shaped
                 # batches DO get measured.
                 mode = "host"
-            elif len(ab["device"]) < 2:
+            elif len(ab["device"]) < _AB_MIN_SAMPLES:
                 mode = "device"
+            elif len(ab["host"]) < _AB_MIN_SAMPLES:
+                mode = "host"
             else:
                 mode = "host"
             t0 = _time.monotonic()
@@ -615,13 +619,17 @@ class NtEditTPU:
                 res = self._polish_many_pipelined(seqs, processes, shard_bases)
             else:
                 res = self._polish_many_std(seqs, processes, shard_bases)
-            if total >= (3 << 17):
+            if total >= (3 << 17) and not ab["locked"]:
                 samples = ab[mode]
                 samples.append(total / max(_time.monotonic() - t0, 1e-9))
                 del samples[:-_AB_KEEP]
-                if ab["device"] and ab["host"]:
-                    # best-of the freshest samples decides (this box's
-                    # neighbor noise swings 2x between identical runs)
+                if (
+                    len(ab["device"]) >= _AB_MIN_SAMPLES
+                    and len(ab["host"]) >= _AB_MIN_SAMPLES
+                ):
+                    # best-of the samples decides (this box's neighbor noise
+                    # swings 2x between identical runs; noise only ever
+                    # slows an arm, so max is the robust estimator)
                     ab["locked"] = (
                         "device" if max(ab["device"]) >= max(ab["host"])
                         else "host"
