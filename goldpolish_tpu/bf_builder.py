@@ -173,28 +173,47 @@ class BFBuilder:
 
     def build_batch_device(self, target_ids: list[str],
                            chunk_elems: int = 32_000_000) -> BatchBFs:
-        """Fast-mode device BF build (SURVEY §7.2: hash->scatter).
+        """Fast-mode device BF build (sort-based, ops/bloom_sort).
 
         DEVIATION from the host/native fill (documented, like autoscale_bf):
-        scatter-add counts upper-bound conservative-update counts and
-        promotion ignores occurrence order, so the resulting filter is a
-        slight SUPERSET of the reference fill's (every host-promoted k-mer
-        is device-promoted; a few extra k-mers near the threshold may
-        join — drift quantified in tests/test_bf_builder_device.py).  Use
-        on co-located chips where fill bandwidth beats the host; the host
-        path stays the exactness anchor.  Each read promotes with ITS
-        TARGET's adaptive threshold, matching the host fill's per-target
-        semantics (shared _choose_reads — read sets cannot desynchronize).
+        per-slot occurrence totals upper-bound conservative-update counts
+        and promotion ignores occurrence order, so the resulting filter is
+        a slight SUPERSET of the reference fill's (every host-promoted
+        k-mer is device-promoted; a few extra k-mers near the threshold
+        may join — drift quantified in tests/test_bf_builder_device.py).
+        Use on co-located chips (or overlapped with host polish) where the
+        fill competes for host cores; the host path stays the exactness
+        anchor.  Each read promotes with ITS TARGET's adaptive threshold,
+        matching the host fill's per-target semantics (shared
+        _choose_reads — read sets cannot desynchronize).
+        GPTPU_SCATTER_FILL=1 selects the round-3 scatter build (kept as a
+        bit-identical reference implementation).
         """
+        import os as _os
+
         bf_bytes = self._batch_bf_bytes(target_ids)
-        by_thresh: dict[int, list[bytes]] = {}
-        for _tid, chosen, kmer_threshold in self._choose_reads(target_ids):
-            by_thresh.setdefault(kmer_threshold, []).extend(
-                self.mapped_index.get_seq(r) for r in chosen
+        if _os.environ.get("GPTPU_SCATTER_FILL"):
+            by_thresh: dict[int, list[bytes]] = {}
+            for _tid, chosen, kmer_threshold in self._choose_reads(target_ids):
+                by_thresh.setdefault(kmer_threshold, []).extend(
+                    self.mapped_index.get_seq(r) for r in chosen
+                )
+            bfs = device_fill_bfs(
+                by_thresh, self.k_values, self.hash_num, self.cbf_bytes,
+                bf_bytes, chunk_elems=chunk_elems,
             )
-        bfs = device_fill_bfs(
-            by_thresh, self.k_values, self.hash_num, self.cbf_bytes,
-            bf_bytes, chunk_elems=chunk_elems,
+            return BatchBFs(self.k_values, [], bfs)
+        from .ops import bloom_sort
+
+        reads: list[bytes] = []
+        thrs: list[int] = []
+        for _tid, chosen, kmer_threshold in self._choose_reads(target_ids):
+            for rid in chosen:
+                reads.append(self.mapped_index.get_seq(rid))
+                thrs.append(kmer_threshold)
+        bfs = bloom_sort.device_fill_bfs_sorted(
+            reads, thrs, self.k_values, self.hash_num, self.cbf_bytes,
+            bf_bytes,
         )
         return BatchBFs(self.k_values, [], bfs)
 

@@ -1,0 +1,236 @@
+"""Sort-based device Bloom-filter build — the scatter-light fill redesign.
+
+The round-3 device fill (ops/bloom_jax scatter emulation driven by
+bf_builder.device_fill_bfs) paid two N*h-scale scatter/gather passes per k
+(N = window count, h = hash count; ~40 M elements at the bench batch
+grain) plus a recompile storm from unpadded chunk shapes.  This build
+produces the same bits with ONE fused dispatch per k whose heavy ops run
+at N- or D-scale (D = distinct k-mers, typically N/coverage):
+
+  1. conv-hash every window (ops/scan_conv MXU formulation),
+  2. 3-key sort (hash_hi, hash_lo, window threshold) — duplicates of a
+     k-mer become adjacent, smallest applicable threshold first,
+  3. run detection + run lengths via cumsum/slice arithmetic (no gathers),
+  4. compact one representative per distinct k-mer (scatter-min),
+  5. CBF-collision emulation at D-scale: weighted scatter-add of run
+     counts into per-slot totals, gather the min over the h slots,
+  6. promote distinct k-mers whose min slot total reaches their smallest
+     threshold; set their bits (ops/bloom_jax.build_words).
+
+Reads are packed host-side into a halo'd row grid ([R, ROW_NW + KHALO])
+so every stream window appears exactly once and shapes come from a small
+power-of-two bucket set (compile once per bucket, reuse forever — the
+round-3 fill recompiled per batch).  Read boundaries and per-read
+thresholds travel as a tiny offsets/thresholds upload and are expanded
+on device with cumsum / segmented-scan tricks (no large gathers).
+
+Exactness contract (unchanged from round 3): the host fill is the
+anchor; this build produces BIT-IDENTICAL filters to the round-3 device
+scatter build — a documented SUPERSET of the host fill:
+
+  * per-slot totals count every occurrence at every slot, which
+    upper-bounds btllib's conservative-update counts
+    (reference: src/utils.cpp:96-123 semantics), and
+  * a k-mer seen under several per-target thresholds promotes at the
+    smallest (the host promotes only if the running count crosses a
+    threshold in stream order).
+
+Drift vs host is pinned by tests/test_bf_builder_device.py; equality vs
+the round-3 scatter build by tests/test_bloom_sort.py.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from . import bloom_jax, nthash_jax, scan_conv
+
+ROW_NW = 16384  # windows per packed row
+KHALO = 32      # halo bases appended per row; supports any k <= KHALO + 1
+MAX_THR = 15    # per-read thresholds must fit 4 bits (reference caps at 13)
+
+
+# --------------------------------------------------------------------------
+# host-side stream packing
+
+
+class PackedReadStream:
+    """Reads packed end-to-end into a halo'd row grid, one per batch.
+
+    codes: uint8 [R, ROW_NW + KHALO] — row r covers stream positions
+    [r*ROW_NW, r*ROW_NW + ROW_NW + KHALO); window (r, c) with c < ROW_NW
+    is stream window r*ROW_NW + c, each exactly once.  R is padded to the
+    next power of two (shape-bucketed compiles).  offsets: int32
+    [n_reads + 1] stream start offsets; thrs: uint8 [n_reads] per-read
+    promotion thresholds BEFORE the per-k escalation (the device kernel
+    adds ki - 2).
+    """
+
+    def __init__(self, reads: list[bytes], thrs: list[int]):
+        assert len(reads) == len(thrs)
+        assert all(0 < t <= MAX_THR for t in thrs), "thresholds must fit 4 bits"
+        total = sum(len(r) for r in reads)
+        rows = max(1, -(-total // ROW_NW))
+        rows_padded = 1 << (rows - 1).bit_length()
+        buf = np.full(rows_padded * ROW_NW + KHALO, ord("A"), np.uint8)
+        offsets = np.zeros(len(reads) + 1, np.int64)
+        off = 0
+        for i, r in enumerate(reads):
+            buf[off : off + len(r)] = np.frombuffer(r, np.uint8)
+            offsets[i] = off
+            off += len(r)
+        offsets[-1] = off
+        self.codes = np.lib.stride_tricks.as_strided(
+            buf, (rows_padded, ROW_NW + KHALO), (ROW_NW, 1)
+        )
+        self.total = total
+        self.rows = rows_padded
+        self.offsets = offsets.astype(np.int32)
+        self.thrs = np.asarray(thrs, np.uint8)
+        self.n_windows = rows_padded * ROW_NW
+
+
+# --------------------------------------------------------------------------
+# device kernels
+
+
+def _stream_meta(offsets, thrs, n_stream: int, k_pad: int):
+    """Per-base read metadata, expanded on device from the tiny upload.
+
+    Returns (cs, thr_base): cs int32 [n_stream + k_pad] inclusive cumsum
+    of read-start indicators (window p stays within one read iff
+    cs[p + k - 1] == cs[p] — both pure slices); thr_base int32
+    [n_stream + k_pad] threshold of the read owning each base, via a
+    position-tagged segmented cummax fill-forward (tag = pos*16 + thr,
+    monotone in pos; thr < 16 guaranteed by PackedReadStream).
+    """
+    n = n_stream + k_pad
+    bnd = jnp.zeros(n + 1, jnp.int32).at[offsets].add(1, mode="drop")[:n]
+    cs = jnp.cumsum(bnd)
+    ro = offsets[:-1]
+    tags = jnp.zeros(n + 1, jnp.int32).at[ro].max(
+        ro * 16 + thrs.astype(jnp.int32), mode="drop"
+    )[:n]
+    thr_base = jax.lax.associative_scan(jnp.maximum, tags) & 15
+    return cs, thr_base
+
+
+_stream_meta_jit = jax.jit(_stream_meta, static_argnums=(2, 3))
+
+
+def _fill_k(codes, cs, thr_base, total, k: int, h: int, thresh_delta: int,
+            cbf_size: int, bits: int, dmax: int):
+    """One k's full build: returns (bf words uint32[bits/32], n_runs).
+
+    total: traced scalar — stream length (padding windows past it are
+    masked without a shape change).  thresh_delta: the per-k escalation
+    ki - 2 (reference src/utils.cpp:105-107).
+    """
+    R, Lr = codes.shape
+    nw = Lr - k + 1
+    n_stream = R * ROW_NW
+    base = scan_conv.canonical_hashes_conv(codes, k)  # [R, nw] u64
+
+    # validity + threshold per window, all via slices of the stream arrays
+    cs0 = jax.lax.dynamic_slice(cs, (0,), (n_stream,)).reshape(R, ROW_NW)
+    csk = jax.lax.dynamic_slice(cs, (k - 1,), (n_stream,)).reshape(R, ROW_NW)
+    pos = (
+        jnp.arange(R, dtype=jnp.int32)[:, None] * ROW_NW
+        + jnp.arange(ROW_NW, dtype=jnp.int32)[None, :]
+    )
+    thr_w = (
+        jax.lax.dynamic_slice(thr_base, (0,), (n_stream,)).reshape(R, ROW_NW)
+        + thresh_delta
+    )
+    valid = (cs0 == csk) & (pos + k <= total)
+    pad_cols = nw - ROW_NW
+    if pad_cols:
+        valid = jnp.pad(valid, ((0, 0), (0, pad_cols)))
+        thr_w = jnp.pad(thr_w, ((0, 0), (0, pad_cols)), constant_values=255)
+    thr_w = jnp.where(valid, thr_w, 255).astype(jnp.uint32)
+
+    hashes = base.reshape(-1)
+    vflat = valid.reshape(-1)
+    hi = jnp.where(vflat, (hashes >> jnp.uint64(32)).astype(jnp.uint32),
+                   jnp.uint32(0xFFFFFFFF))
+    lo = jnp.where(vflat, hashes.astype(jnp.uint32), jnp.uint32(0xFFFFFFFF))
+    hi_s, lo_s, th_s = jax.lax.sort((hi, lo, thr_w.reshape(-1)), num_keys=3)
+    n = hi_s.shape[0]
+
+    same = (hi_s[1:] == hi_s[:-1]) & (lo_s[1:] == lo_s[:-1])
+    is_start = jnp.concatenate([jnp.ones(1, bool), ~same])
+    ridx = jnp.cumsum(is_start.astype(jnp.int32)) - 1
+    n_runs = ridx[-1] + 1
+
+    # compact one representative per run: start position per run id
+    tgt = jnp.where(is_start & (ridx <= dmax), ridx, dmax + 1)
+    start = jnp.full(dmax + 2, n, jnp.int32).at[tgt].min(
+        jnp.arange(n, dtype=jnp.int32), mode="drop"
+    )
+    cnt = start[1 : dmax + 1] - start[:dmax]  # run lengths, 0 for absent
+    sp = jnp.minimum(start[:dmax], n - 1)
+    th_r = th_s[sp].astype(jnp.int32)  # smallest threshold in the run
+    hv = (hi_s[sp].astype(jnp.uint64) << jnp.uint64(32)) | lo_s[sp].astype(
+        jnp.uint64
+    )
+    live = (th_r < 255) & (cnt > 0)
+
+    # CBF-collision emulation at D-scale (superset parity with the host
+    # conservative-update counts — see module docstring)
+    hs = nthash_jax.multi_hashes(hv, k, h)  # [dmax, h] u64
+    slot = (hs % jnp.uint64(cbf_size)).astype(jnp.int32)
+    slot = jnp.where(live[:, None], slot, cbf_size)
+    totals = jnp.zeros(cbf_size + 1, jnp.int32).at[slot.reshape(-1)].add(
+        jnp.repeat(cnt, h), mode="drop"
+    )
+    mins = totals[slot].min(axis=-1)
+    promote = live & (mins >= th_r)
+    words = bloom_jax.build_words(bits, hs, mask=promote)
+    return words, n_runs
+
+
+_fill_k_jit = jax.jit(_fill_k, static_argnums=(4, 5, 6, 7, 8, 9))
+
+
+def device_fill_bfs_sorted(reads: list[bytes], thrs: list[int],
+                           k_values: list[int], hash_num: int,
+                           cbf_bytes: int, bf_bytes: int):
+    """Full multi-k device build from per-read thresholds.
+
+    Returns list[bloom.BloomFilter] (no CBFs — the slot totals live only
+    on device).  Bit-identical to the round-3 scatter build; a documented
+    superset of the host fill (module docstring).
+    """
+    from . import bloom
+
+    if not reads:
+        return [bloom.BloomFilter(bf_bytes, hash_num, k) for k in k_values]
+    stream = PackedReadStream(reads, thrs)
+    codes = jax.device_put(np.ascontiguousarray(stream.codes))
+    offsets = jax.device_put(stream.offsets)
+    thrs_a = jax.device_put(stream.thrs)
+    total = jnp.int32(stream.total)
+    k_pad = KHALO + 1
+    cs, thr_base = _stream_meta_jit(offsets, thrs_a, stream.n_windows, k_pad)
+
+    bits = bf_bytes * 8
+    bfs = []
+    for ki, k in enumerate(k_values):
+        n = stream.rows * (ROW_NW + KHALO - k + 1)
+        words = None
+        for dmax in (max(1024, n // 4), max(1024, n // 2), n):
+            w, n_runs = _fill_k_jit(
+                codes, cs, thr_base, total, k, hash_num, ki - 2,
+                cbf_bytes, bits, dmax,
+            )
+            if int(n_runs) <= dmax:
+                words = w
+                break
+        assert words is not None  # dmax == n always fits
+        bf = bloom.BloomFilter(bf_bytes, hash_num, k)
+        bf.array[: bits // 8] = np.asarray(words).view(np.uint8)
+        bfs.append(bf)
+    return bfs

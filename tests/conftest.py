@@ -35,3 +35,11 @@ def pytest_sessionstart(session):
         native.lib()
     except native.NativeUnavailable as e:
         raise RuntimeError(f"native build failed (broken commit?): {e}") from e
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "slow: long-running tests (> ~2s); `-m 'not slow'` is the fast "
+        "tier (< 60s) for mid-iteration runs",
+    )

@@ -21,6 +21,7 @@ from goldpolish_tpu.pipeline import bulk
 @pytest.mark.skipif(
     not os.path.exists(refscale.REF_BULK_DRAFT), reason="reference data absent"
 )
+@pytest.mark.slow
 def test_bulk_backend_invariance(tmp_path, monkeypatch):
     outs = {}
     for name, backend, pool, env in (

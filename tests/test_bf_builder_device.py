@@ -1,3 +1,5 @@
+import pytest
+
 import numpy as np
 from goldpolish_tpu.ops import bloom, nthash as nt
 from goldpolish_tpu.bf_builder import BFBuilder
@@ -21,6 +23,7 @@ class FakeMappings:
         return self.m.get(t, [])
 
 
+@pytest.mark.slow
 def test_device_build_superset_and_polishes():
     rng = np.random.default_rng(0)
     truth = np.frombuffer(b"ACGT", np.uint8)[rng.integers(0, 4, 60000)].tobytes()
@@ -67,6 +70,7 @@ def test_device_build_superset_and_polishes():
     assert out.upper() == truth
 
 
+@pytest.mark.slow
 def test_device_build_per_target_thresholds():
     """Targets with different mapped-bases get DIFFERENT adaptive
     thresholds; the device build applies each target's own (not the batch
@@ -167,6 +171,7 @@ def _noisy_build(err_rate: float, seed: int = 11):
     return worst
 
 
+@pytest.mark.slow
 def test_device_build_drift_bound_realistic_error_rates():
     """Committed drift bound (VERDICT r2 #9): at 0.25%-1% read error the
     device fast build stays a superset with bounded extra-bit drift.

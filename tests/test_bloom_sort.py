@@ -1,0 +1,124 @@
+"""Sort-based device BF build: equality with the round-3 scatter build,
+superset of the host fill, threshold mixing, and the dmax fallback."""
+
+import numpy as np
+import pytest
+
+from goldpolish_tpu import bf_builder
+from goldpolish_tpu.ops import bloom, bloom_sort, nthash as nt
+
+H = 4
+CBF_BYTES = 1 << 20
+BF_BYTES = 1 << 17
+
+
+def _reads_cov(truth: bytes, cov: int, frag: int = 1500):
+    reads = []
+    for rep in range(cov):
+        off = rep * (frag // max(cov, 1))
+        reads.append(truth[: frag + 32])
+        for s in range(off, len(truth), frag):
+            reads.append(truth[s : s + frag + 32])
+    return reads
+
+
+def _host_fill(reads, thrs, ks):
+    cbfs = [bloom.CountingBloomFilter8(CBF_BYTES, H, k) for k in ks]
+    bfs = [bloom.BloomFilter(BF_BYTES, H, k) for k in ks]
+    from goldpolish_tpu import native
+
+    native.fill_bfs_stream(reads, thrs, H, ks, cbfs, bfs)
+    return bfs
+
+
+@pytest.mark.slow
+def test_sorted_equals_scatter_build():
+    rng = np.random.default_rng(0)
+    truth = np.frombuffer(b"ACGT", np.uint8)[rng.integers(0, 4, 30000)].tobytes()
+    reads = _reads_cov(truth, 6)
+    ks = [32, 28]
+    srt = bloom_sort.device_fill_bfs_sorted(
+        reads, [5] * len(reads), ks, H, CBF_BYTES, BF_BYTES
+    )
+    old = bf_builder.device_fill_bfs(
+        {5: reads}, ks, H, CBF_BYTES, BF_BYTES
+    )
+    for k, a, b in zip(ks, srt, old):
+        assert bytes(a.array) == bytes(b.array), k
+
+
+def test_sorted_superset_of_host():
+    rng = np.random.default_rng(1)
+    truth = np.frombuffer(b"ACGT", np.uint8)[rng.integers(0, 4, 30000)].tobytes()
+    reads = _reads_cov(truth, 6)
+    ks = [32, 28]
+    srt = bloom_sort.device_fill_bfs_sorted(
+        reads, [5] * len(reads), ks, H, CBF_BYTES, BF_BYTES
+    )
+    host = _host_fill(reads, [5] * len(reads), ks)
+    for k, d, hh in zip(ks, srt, host):
+        assert np.all((hh.array & ~d.array) == 0), k
+        extra = np.unpackbits(d.array & ~hh.array).sum()
+        totalb = max(1, np.unpackbits(hh.array).sum())
+        assert extra / totalb < 0.05, (k, extra, totalb)
+
+
+@pytest.mark.slow
+def test_sorted_mixed_thresholds_min_rule():
+    """A k-mer covered by low- and high-threshold reads promotes at the
+    smallest — equality with the scatter build's per-group union."""
+    rng = np.random.default_rng(2)
+    truth = np.frombuffer(b"ACGT", np.uint8)[rng.integers(0, 4, 12000)].tobytes()
+    reads_lo = _reads_cov(truth[:8000], 5)
+    reads_hi = _reads_cov(truth[4000:], 9)
+    reads = reads_lo + reads_hi
+    thrs = [4] * len(reads_lo) + [9] * len(reads_hi)
+    ks = [32, 28]
+    srt = bloom_sort.device_fill_bfs_sorted(reads, thrs, ks, H, CBF_BYTES,
+                                            BF_BYTES)
+    old = bf_builder.device_fill_bfs(
+        {4: reads_lo, 9: reads_hi}, ks, H, CBF_BYTES, BF_BYTES
+    )
+    for k, a, b in zip(ks, srt, old):
+        assert bytes(a.array) == bytes(b.array), k
+    # sanity: the low-threshold region's truth k-mers are present
+    region = truth[100:2000]
+    base = nt.canonical_hashes(nt.encode(region), 32)
+    hits = srt[0].contains(nt.multi_hashes(base, 32, H)).mean()
+    assert hits > 0.95
+
+
+def test_sorted_dmax_fallback_unique_kmers():
+    """Coverage-1 random reads: nearly every k-mer distinct, so the n//4
+    and n//2 dmax buckets overflow and the full-size variant runs."""
+    rng = np.random.default_rng(3)
+    reads = [
+        np.frombuffer(b"ACGT", np.uint8)[rng.integers(0, 4, 4000)].tobytes()
+        for _ in range(4)
+    ]
+    ks = [32]
+    srt = bloom_sort.device_fill_bfs_sorted(reads, [4] * 4, ks, H,
+                                            CBF_BYTES, BF_BYTES)
+    old = bf_builder.device_fill_bfs({4: reads}, ks, H, CBF_BYTES, BF_BYTES)
+    assert bytes(srt[0].array) == bytes(old[0].array)
+
+
+@pytest.mark.slow
+def test_sorted_edge_cases():
+    # reads shorter than k contribute nothing; empty list yields empty BFs
+    short = b"ACGTACGT"
+    srt = bloom_sort.device_fill_bfs_sorted([short], [4], [32], H,
+                                            CBF_BYTES, BF_BYTES)
+    assert srt[0].pop_count == 0
+    empty = bloom_sort.device_fill_bfs_sorted([], [], [32], H, CBF_BYTES,
+                                              BF_BYTES)
+    assert empty[0].pop_count == 0
+    # k == KHALO + 1 boundary (largest supported halo)
+    rng = np.random.default_rng(4)
+    truth = np.frombuffer(b"ACGT", np.uint8)[rng.integers(0, 4, 5000)].tobytes()
+    reads = _reads_cov(truth, 5)
+    srt = bloom_sort.device_fill_bfs_sorted(reads, [4] * len(reads),
+                                            [33], H, CBF_BYTES, BF_BYTES)
+    old = bf_builder.device_fill_bfs({4: reads}, [33], H, CBF_BYTES, BF_BYTES)
+    assert bytes(srt[0].array) == bytes(old[0].array)
+    assert srt[0].pop_count > 0

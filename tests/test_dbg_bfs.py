@@ -7,6 +7,8 @@ sealer-shaped gap scenario, and seal_records(backend="hybrid") output is
 byte-identical to the host backend.
 """
 
+import pytest
+
 from collections import deque
 
 import numpy as np
@@ -134,6 +136,7 @@ def test_mask_replay_equals_probing_search():
     assert sum(1 for w in want if w.path_result == "FOUND_PATH") >= 4
 
 
+@pytest.mark.slow
 def test_seal_records_hybrid_byte_identical():
     rng = np.random.default_rng(31)
     n = 30_000

@@ -23,6 +23,7 @@ GOLDEN = os.path.join(os.path.dirname(__file__), "golden")
 @pytest.mark.skipif(
     not os.path.exists(refscale.REF_BULK_DRAFT), reason="reference data absent"
 )
+@pytest.mark.slow
 def test_bulk_refscale_golden(tmp_path):
     cfg = refscale.build_bulk_inputs(str(tmp_path))
     totals = bulk.run_bulk(cfg)

@@ -64,6 +64,7 @@ bulk.run_bulk(cfg)
 """
 
 
+@pytest.mark.slow
 def test_two_process_bulk_matches_single_host(tmp_path):
     draft, reads, paf = _scenario(tmp_path)
 

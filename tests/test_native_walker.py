@@ -55,6 +55,7 @@ def _tables(cfg):
 
 @pytest.mark.parametrize("mode", [0, 1, 2])
 @pytest.mark.parametrize("mask", [0, 1])
+@pytest.mark.slow
 def test_walker_matches_oracle_modes(mode, mask):
     rng = np.random.default_rng(mode * 2 + mask)
     truth, draft = _mutated(rng)
@@ -110,6 +111,7 @@ def test_walker_present_hint_matches():
     assert out_hint == out_o and recs_hint == recs_o
 
 
+@pytest.mark.slow
 def test_walker_record_buffer_growth():
     """More substitution records than the initial 4096-row buffer: the
     wrapper must retry with a bigger buffer and return every record."""
@@ -203,6 +205,7 @@ def test_walker_randomized_config_soak():
         )
 
 
+@pytest.mark.slow
 def test_walker_repeat_guard_heavy():
     """Low-complexity runs (homopolymers, dinucleotide repeats) with indel
     errors inside them drive the repeat-insertion guard — including the

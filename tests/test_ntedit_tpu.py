@@ -275,6 +275,7 @@ def test_polish_many_processes_matches():
         )
 
 
+@pytest.mark.slow
 def test_fastwalk_off_matches(monkeypatch):
     """The native bulk clean-run must be a pure optimization: output with
     GPTPU_NO_FASTWALK=1 (scalar walk) is byte-identical, for both the

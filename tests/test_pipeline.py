@@ -160,6 +160,7 @@ def test_bulk_pipeline_process_pool(tmp_path):
     assert open(out1).read() == open(out2).read()
 
 
+@pytest.mark.slow
 def test_bulk_pipeline_device_bf_build(tmp_path):
     """jax backend + device fast-mode BF build: full recovery through the
     superset filter (see BFBuilder.build_batch_device)."""
@@ -177,6 +178,7 @@ def test_bulk_pipeline_device_bf_build(tmp_path):
         assert r.seq.rstrip("Nn") == t.strip("N"), f"{r.id} not recovered"
 
 
+@pytest.mark.slow
 def test_workspace_signal_cleanup(tmp_path):
     """SIGTERM mid-run scrubs the workspace (autocleaner semantics,
     reference goldpolish-autoclean:42-64)."""

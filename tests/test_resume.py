@@ -117,6 +117,7 @@ def test_reaper_resumes_from_progress(tmp_path):
     assert dist.reaped_through(out) == 0
 
 
+@pytest.mark.slow
 def test_sigkill_midrun_resume_byte_identical(tmp_path):
     """Kill a checkpointed run with SIGKILL mid-way, resume, and require
     output byte-identical to an uninterrupted run with no batch re-polished

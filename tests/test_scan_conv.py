@@ -90,6 +90,7 @@ def test_scanpipe_multi_chunk_stitching():
     assert np.array_equal(got[2], want2)
 
 
+@pytest.mark.slow
 def test_pipelined_polish_many_matches_numpy():
     """Hybrid polish_many (scanner + pipeline) is byte-identical to the
     numpy backend, serial and fork-pool, incl. a sharded long contig."""
@@ -182,6 +183,7 @@ def test_scanpipe_packed_transfer_matches_raw():
     assert np.array_equal(got_raw[0], want)
 
 
+@pytest.mark.slow
 def test_pipelined_polish_many_shape_fuzz():
     """Random contig-size mixes (sub-k, exactly k, k+1, row-boundary sizes,
     exception bytes) through the pipelined path match the numpy backend."""

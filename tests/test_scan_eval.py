@@ -6,6 +6,8 @@ and the site-eval spec (ops/siteeval.eval_sites_np) — these are what the
 walker's table replay consumes, so any divergence is a byte-exactness bug.
 """
 
+import pytest
+
 import numpy as np
 
 from goldpolish_tpu.ops import bloom, nthash as nt, siteeval
@@ -49,6 +51,7 @@ def _heads_ref(hot: np.ndarray, k: int) -> np.ndarray:
     return np.array(heads, np.int64)
 
 
+@pytest.mark.slow
 def test_fused_matches_host_spec():
     truth, draft, bf = _scenario()
     cfg = ntedit_config_for_k(K)
@@ -158,6 +161,7 @@ def test_fused_matches_host_spec():
     assert checked >= 20  # the scenario must actually exercise the tables
 
 
+@pytest.mark.slow
 def test_fused_survivor_overflow_flags():
     """A site whose h1 prescreen passes > T_SURVIVORS combos must flag
     ins_ok=0 (host falls back) rather than return a truncated table."""
@@ -194,6 +198,7 @@ def test_fused_survivor_overflow_flags():
     assert T_SURVIVORS < tables.n_combos
 
 
+@pytest.mark.slow
 def test_hybrid_engine_with_device_eval_end_to_end(monkeypatch):
     """Production pipelined path with the fused eval forced on (the CPU
     mesh would normally disable it): byte-identical to the host backend,

@@ -182,6 +182,7 @@ def test_sites_near_contig_end_del_masks():
         assert sup.del_support[0, d - 1] <= max_valid
 
 
+@pytest.mark.slow
 def test_jax_eval_matches_numpy_v2():
     """Device-side patch construction (siteeval_jax v2) parity on CPU."""
     import jax.numpy as jnp

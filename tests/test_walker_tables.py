@@ -5,6 +5,8 @@ probing walk byte-for-byte — output, records, and edit counters — with
 table hits actually happening (otherwise the test proves nothing).
 """
 
+import pytest
+
 import numpy as np
 
 from goldpolish_tpu import native
@@ -68,6 +70,7 @@ def _fused_tables(draft: bytes, bf, cfg, s_max=512):
     return present, site_tables
 
 
+@pytest.mark.slow
 def test_table_replay_byte_identical():
     truth, draft, bf = _scenario()
     cfg = ntedit_config_for_k(K)
@@ -94,6 +97,7 @@ def test_table_replay_byte_identical():
     assert out_tab == out_orc
 
 
+@pytest.mark.slow
 def test_table_replay_mode0():
     truth, draft, bf = _scenario(n=60_000, seed=23)
     cfg = ntedit_config_for_k(K)
@@ -112,6 +116,7 @@ def test_table_replay_mode0():
     assert st_tab.n_table_hits > 20
 
 
+@pytest.mark.slow
 def test_table_replay_giveup_falls_back():
     """Tables built with a tiny thr_edit overflow the survivor cap; the
     walker must fall back natively and still be byte-identical."""
