@@ -260,6 +260,17 @@ def scan_present_packed2_mxu(planes_i8, bits: int, h: int, k: int, L: int,
     return _pack_bits(pres)
 
 
+def probe_kind(bits: int) -> str:
+    """Probe the scanner would choose for a filter of `bits` — computable
+    WITHOUT constructing (and uploading) one, so the A/B placement gate
+    can key workload classes while the scanner stays lazy."""
+    on_tpu = jax.devices()[0].platform == "tpu"
+    pow2 = bits & (bits - 1) == 0
+    return (
+        "mxu" if on_tpu and pow2 and bits <= MXU_PROBE_MAX_BITS else "gather"
+    )
+
+
 class DeviceScanner:
     """Holds a Bloom filter's device residency and runs fused scans.
 
@@ -289,15 +300,7 @@ class DeviceScanner:
         # Pallas interpret mode lets the MXU probe run on CPU-device meshes
         # (tests / multi-chip dryrun); real TPUs compile the Mosaic kernel
         self._interpret = not on_tpu
-        probe = force_probe
-        if probe is None:
-            pow2 = self.bits & (self.bits - 1) == 0
-            probe = (
-                "mxu"
-                if on_tpu and pow2 and self.bits <= MXU_PROBE_MAX_BITS
-                else "gather"
-            )
-        self.probe = probe
+        self.probe = force_probe or probe_kind(self.bits)
         words = bf.words_u32()
         if self.n_devices > 1:
             # dp row sharding for BOTH probe kinds: the filter (words or
@@ -312,7 +315,7 @@ class DeviceScanner:
             )
             repl = NamedSharding(self._mesh, PartitionSpec())
             self._words = jax.device_put(words, repl)
-            if probe == "mxu":
+            if self.probe == "mxu":
                 from . import bloom_pallas
 
                 self._planes = jax.device_put(
@@ -320,7 +323,7 @@ class DeviceScanner:
                 )
         else:
             self._words = jnp.asarray(words)
-            if probe == "mxu":
+            if self.probe == "mxu":
                 from . import bloom_pallas
 
                 self._planes = jnp.asarray(

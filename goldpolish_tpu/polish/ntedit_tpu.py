@@ -359,36 +359,48 @@ class NtEditTPU:
         elif backend == "hybrid":
             # device runs the fused dense scan (ops/scan_conv: MXU conv hash
             # + size-adaptive Bloom probe); host runs candidate eval + walk;
-            # placement is A/B-measured per workload class in polish_many
-            import os as _os
+            # placement is A/B-measured per workload class in polish_many.
+            # Construction is LAZY: the scanner (and its filter upload —
+            # ~0.3 s per k per batch through the tunnel) only materializes
+            # if a device mode is actually chosen; per-batch engines whose
+            # workload class has locked host never pay it.
+            self._scanner_lazy = True
 
-            from ..ops import scan_conv
+    def _ensure_scanner(self):
+        """Materialize the hybrid device scanner on first device use."""
+        if self._scanner is not None or not getattr(self, "_scanner_lazy", False):
+            return
+        import os as _os
 
-            self._scanner = scan_conv.DeviceScanner(bf)
-            # fused phase-A (scan + detection + site eval on device,
-            # ops/scan_eval): the walker then replays trials from tables —
-            # its heaviest per-site work — wherever the device's site
-            # prediction hit.  Constraints mirror the native replay's.
-            dev_eval = _os.environ.get("GPTPU_DEVICE_EVAL", "1")
-            if (
-                dev_eval != "0"
-                and cfg.mode in (0, 1) and not cfg.snv
-                and cfg.k <= 64 and cfg.h <= 16
-                and cfg.max_insertions <= 5 and cfg.max_deletions <= 7
-            ):
-                from ..ops.scan_eval import EvalConfig
+        from ..ops import scan_conv
 
-                self._scanner.enable_eval(
-                    EvalConfig(
-                        k=cfg.k, h=cfg.h, jump=cfg.jump,
-                        max_ins=cfg.max_insertions,
-                        max_del=cfg.max_deletions,
-                        thr_edit=cfg.thr_edit,
-                        thr_missing=cfg.thr_missing, s_max=4096,
-                    ),
-                    self.tables,
-                    force=dev_eval == "1",
-                )
+        cfg = self.cfg
+        self._scanner = scan_conv.DeviceScanner(self.bf)
+        self._scanner_lazy = False
+        # fused phase-A (scan + detection + site eval on device,
+        # ops/scan_eval): the walker then replays trials from tables —
+        # its heaviest per-site work — wherever the device's site
+        # prediction hit.  Constraints mirror the native replay's.
+        dev_eval = _os.environ.get("GPTPU_DEVICE_EVAL", "1")
+        if (
+            dev_eval != "0"
+            and cfg.mode in (0, 1) and not cfg.snv
+            and cfg.k <= 64 and cfg.h <= 16
+            and cfg.max_insertions <= 5 and cfg.max_deletions <= 7
+        ):
+            from ..ops.scan_eval import EvalConfig
+
+            self._scanner.enable_eval(
+                EvalConfig(
+                    k=cfg.k, h=cfg.h, jump=cfg.jump,
+                    max_ins=cfg.max_insertions,
+                    max_del=cfg.max_deletions,
+                    thr_edit=cfg.thr_edit,
+                    thr_missing=cfg.thr_missing, s_max=4096,
+                ),
+                self.tables,
+                force=dev_eval == "1",
+            )
 
     # -- persistent-pool state push -------------------------------------------
     def _bf_ref(self) -> tuple:
@@ -466,6 +478,7 @@ class NtEditTPU:
     def _probe_all(self, codes: np.ndarray) -> np.ndarray:
         k, h = self.cfg.k, self.cfg.h
         n = len(codes)
+        self._ensure_scanner()  # single-contig hybrid path: device scan
         if self._scanner is not None:  # hybrid: fused device scan
             bucket = max(256, 1 << (n - 1).bit_length())
             padded = np.zeros(bucket, np.uint8)
@@ -584,13 +597,19 @@ class NtEditTPU:
         real workload, not a microbenchmark proxy, decides.
         GPTPU_FORCE_DEVICE_SCAN=1 pins the device.
         """
-        if self._scanner is not None:
+        if self._scanner is not None or getattr(self, "_scanner_lazy", False):
             import os as _os
             import time as _time
 
+            from ..ops import scan_conv as _sc
+
             total = sum(len(s) for s in seqs)
+            probe = (
+                self._scanner.probe if self._scanner is not None
+                else _sc.probe_kind(int(self.bf.bits))
+            )
             key = (
-                self.cfg.k, self.cfg.h, self._scanner.probe,
+                self.cfg.k, self.cfg.h, probe,
                 self.bf.bytes.bit_length(),       # filter-size bucket
                 max(0, total.bit_length() - 1) // 2,  # grain bucket (4x)
             )
@@ -747,6 +766,8 @@ class NtEditTPU:
         max(walk, device scan) instead of host_scan + walk.
         """
         from .scanpipe import ScanPipe
+
+        self._ensure_scanner()
 
         k = self.cfg.k
         if processes > 1 and (

@@ -117,6 +117,8 @@ def test_pipelined_polish_many_matches_numpy():
     os.environ["GPTPU_FORCE_DEVICE_SCAN"] = "1"
     try:
         eng = NtEditTPU(cfg, bf, backend="hybrid")
+        assert eng._scanner is None  # lazy: no upload until device use
+        eng._ensure_scanner()
         assert eng._scanner is not None
         got_serial = eng.polish_many(drafts)
         assert [o for o, _r, _e in got_serial] == want

@@ -233,6 +233,7 @@ def test_hybrid_engine_with_device_eval_end_to_end(monkeypatch):
     want = [o for o, _r, _e in ref_eng.polish_many(drafts)]
 
     eng = NtEditTPU(cfg, bf, backend="hybrid")
+    eng._ensure_scanner()  # lazy off the device path; force for the assert
     assert eng._scanner.eval_enabled
     # serial pipelined path
     got = eng.polish_many(drafts)
