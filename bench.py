@@ -148,13 +148,12 @@ class Batch:
         return dt
 
     def fill_device(self) -> float:
-        """Device scatter fill (documented superset); returns seconds."""
-        from goldpolish_tpu import bf_builder
-        from goldpolish_tpu.ops import bloom
+        """Sort-based device fill (documented superset); returns seconds."""
+        from goldpolish_tpu.ops import bloom, bloom_sort
 
         t0 = time.time()
-        bfs = bf_builder.device_fill_bfs(
-            {READ_THRESHOLD: self.reads}, K_VALUES, H,
+        bfs = bloom_sort.device_fill_bfs_sorted(
+            self.reads, [READ_THRESHOLD] * len(self.reads), K_VALUES, H,
             bloom.DEFAULT_CBF_BYTES, self.bf_bytes,
         )
         dt = time.time() - t0
@@ -251,20 +250,70 @@ def _timed_interleaved(chains: dict, reps: int = 5):
 
 def _pipeline_stream(batches, procs, fill: str, backend: str,
                      shard_bases: int = 1_000_000) -> float:
-    """Production-shaped stream: batch N+1's filters fill on a background
-    thread (host-native or device scatter, per the fill A/B) while batch N
-    polishes through freshly built engines (uploads included).  Returns
-    wall seconds from first fill start to last polish end."""
-    import concurrent.futures as cf
+    """Production-shaped stream with a claim-based fill scheduler.
 
-    fill_fn = Batch.fill_device if fill == "device" else Batch.fill_host
+    fill modes:
+      "host"    — host lookahead: a background thread host-fills batch
+                  N+1 while batch N polishes,
+      "device"  — every fill on the chip (a device thread works the
+                  batch list tail-first; the polish loop just waits),
+      "overlap" — both at once: the device thread claims batches from
+                  the TAIL while the host lookahead fills from the
+                  front; each batch is filled by whoever claims it
+                  first, so the chip absorbs exactly as much fill work
+                  as it can finish before the host gets there.
+
+    Engines are built fresh per batch (lazy device scanners — no filter
+    upload when the scan placement is locked host).  Returns wall seconds
+    from first fill start to last polish end.
+    """
+    import concurrent.futures as cf
+    import threading
+
+    n = len(batches)
+    state = ["un"] * n  # un | host | dev
+    done = [threading.Event() for _ in range(n)]
+    lock = threading.Lock()
+
+    def claim(i, who) -> bool:
+        with lock:
+            if state[i] != "un":
+                return False
+            state[i] = who
+            return True
+
+    def host_fill(i):
+        batches[i].fill_host()
+        done[i].set()
+
+    def dev_loop(allow_all: bool):
+        while True:
+            with lock:
+                un = [i for i in range(n) if state[i] == "un"]
+                # in overlap mode leave the frontmost unclaimed batch to
+                # the host so the polish loop never stalls on the chip
+                if not un or (not allow_all and len(un) <= 1):
+                    return
+                i = un[-1]
+                state[i] = "dev"
+            try:
+                batches[i].fill_device()
+            except Exception:  # noqa: BLE001 — device failure: host fills
+                batches[i].fill_host()
+            done[i].set()
+
     t0 = time.time()
+    if fill in ("device", "overlap"):
+        threading.Thread(
+            target=dev_loop, args=(fill == "device",), daemon=True
+        ).start()
     with cf.ThreadPoolExecutor(max_workers=1) as ex:
-        futs = {0: ex.submit(fill_fn, batches[0])}
         for i, b in enumerate(batches):
-            if i + 1 < len(batches):
-                futs[i + 1] = ex.submit(fill_fn, batches[i + 1])
-            futs.pop(i).result()
+            if fill != "device" and claim(i, "host"):
+                host_fill(i)
+            if i + 1 < n and fill != "device" and claim(i + 1, "host"):
+                ex.submit(host_fill, i + 1)
+            done[i].wait()
             engines = engines_for([b], backend)[0]
             cur = b.drafts
             for eng in engines:
@@ -402,11 +451,22 @@ def main():
         scan_detail = ",".join(f"{k_}={v}" for k_, v in sorted(locks.items()))
         chain_out = outs_map["adaptive" if rate_dev >= rate_host else "host"]
 
-        # production-shaped pipeline stream (fills overlapped, winning fill)
-        t_pipe = _pipeline_stream(batches, procs, fill["placement"], backend,
-                                  shard_bases)
+        # production-shaped pipeline streams: host-lookahead fills vs the
+        # overlapped arm (device claims fill batches from the tail while
+        # the host fills from the front — VERDICT r3 #1)
+        t_pipe_host = _pipeline_stream(batches, procs, "host", backend,
+                                       shard_bases)
+        mark(f"pipeline stream fill=host done ({t_pipe_host:.2f}s)")
+        t_pipe_overlap = _pipeline_stream(batches, procs, "overlap", backend,
+                                          shard_bases)
+        mark(f"pipeline stream fill=overlap done ({t_pipe_overlap:.2f}s)")
+        fill["pipeline_host_s"] = round(t_pipe_host, 2)
+        fill["pipeline_overlap_s"] = round(t_pipe_overlap, 2)
+        t_pipe = min(t_pipe_host, t_pipe_overlap)
+        fill["pipeline_winner"] = (
+            "overlap" if t_pipe_overlap <= t_pipe_host else "host"
+        )
         pipeline_rate = total / t_pipe
-        mark(f"pipeline stream done ({t_pipe:.2f}s, fill={fill['placement']})")
     else:
         spread, outs_map = _timed_interleaved({
             "baseline_1t": base_chain,
