@@ -63,6 +63,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--process-pool", action="store_true",
                    help="Fork-pool batch workers (host backend; scales "
                         "past the GIL like the reference's worker processes)")
+    p.add_argument("--fill-overlap", action="store_true",
+                   help="Fast mode: the TPU claims Bloom-fill batches from "
+                        "the tail (sort-based build, slight-superset "
+                        "filters) while the host fills from the front; "
+                        "hybrid/jax backends only")
     # hidden reference flags (reference scripts/goldpolish:158-183)
     def _str2bool(v):
         if isinstance(v, bool):
@@ -105,6 +110,7 @@ def args_to_config(args) -> PipelineConfig:
         max_concurrent_batches=args.concurrency,
         run_sealer=not args.no_sealer,
         process_pool=args.process_pool,
+        fill_overlap=args.fill_overlap,
         target=args.target,
         flank_length=args.length,
         bed=args.bed or "",

@@ -64,6 +64,14 @@ class PipelineConfig:
     # goldpolish_targeted_bfs.cpp:177-238); thread-pool path only — fork
     # pool workers fill in-process by construction
     lookahead_fill: bool = True
+    # fast-mode overlapped fill: a device thread claims fill batches from
+    # the TAIL of the batch list (sort-based device build, ops/bloom_sort)
+    # while the host lookahead fills from the front — the chip absorbs
+    # exactly the fill work it finishes before the host arrives.  Like
+    # device_bf_build this trades byte-exactness for speed (device-claimed
+    # batches get the documented slight-superset filters), so it is
+    # opt-in.  hybrid/jax backends with lookahead_fill only.
+    fill_overlap: bool = False
     checkpoint: str = ""  # manifest path for preemption-safe resume
     max_concurrent_batches: int = 4
     run_sealer: bool = True

@@ -330,6 +330,7 @@ def run_bulk(cfg: PipelineConfig) -> dict:
                 max_workers=1, thread_name_prefix="bf-fill"
             )
             fill_futs: dict = {}
+            fill_started: set = set()
             fill_lock = _threading.Lock()
             pos_of = {b.index: p for p, b in enumerate(my_batches)}
 
@@ -344,11 +345,53 @@ def run_bulk(cfg: PipelineConfig) -> dict:
                 b = my_batches[pos]
                 with fill_lock:
                     fut = fill_futs.get(b.index)
-                    if fut is None:
+                    if fut is None and b.index not in fill_started:
                         ids = [h.split()[0] for h, _ in b.records]
                         fut = fill_exec.submit(_timed_fill, ids)
+                        fill_started.add(b.index)
                         fill_futs[b.index] = fut
                 return fut
+
+            if (
+                cfg.fill_overlap and cfg.backend in ("hybrid", "jax")
+                and not cfg.device_bf_build
+            ):
+                # fast-mode overlapped fill (opt-in; see PipelineConfig):
+                # the device claims fill batches from the TAIL while the
+                # host lookahead works the front — whoever claims first
+                # fills; device-claimed batches get the documented
+                # slight-superset sort-based filters (ops/bloom_sort)
+                def _dev_fill_loop():
+                    while True:
+                        with fill_lock:
+                            todo = [
+                                p for p in range(len(my_batches))
+                                if my_batches[p].index not in fill_started
+                            ]
+                            # leave the frontmost unfilled batch to the
+                            # host so polish never stalls on the chip
+                            if len(todo) <= 1:
+                                return
+                            p = todo[-1]
+                            b = my_batches[p]
+                            fut = _cf.Future()
+                            fill_started.add(b.index)
+                            fill_futs[b.index] = fut
+                        ids = [h.split()[0] for h, _ in b.records]
+                        t0 = _time2.monotonic()
+                        try:
+                            bfs = builder.build_batch_device(ids)
+                        except Exception:  # noqa: BLE001 — host fallback
+                            log.warning(
+                                "device fill failed for batch %d; host "
+                                "fill fallback", b.index, exc_info=True,
+                            )
+                            bfs = builder.build_batch(ids)
+                        fut.set_result((bfs, _time2.monotonic() - t0))
+
+                _threading.Thread(
+                    target=_dev_fill_loop, name="bf-fill-dev", daemon=True
+                ).start()
 
             async def worker(batch: engine.Batch):
                 pos = pos_of[batch.index]

@@ -179,6 +179,25 @@ def test_bulk_pipeline_device_bf_build(tmp_path):
 
 
 @pytest.mark.slow
+def test_bulk_pipeline_fill_overlap(tmp_path):
+    """hybrid backend + opt-in overlapped fill: the device tail-claimer
+    (sort-based superset filters) and host lookahead split the fill work;
+    output still fully recovers."""
+    draft, reads, paf, truths = _write_synthetic(tmp_path, n_contigs=4)
+    out = str(tmp_path / "polished_ov.fa")
+    cfg = PipelineConfig(
+        seqs_to_polish=draft, polishing_seqs=reads, output_seqs=out,
+        k_values=[32, 28], batch_size=1, mappings_path=paf,
+        workspace=str(tmp_path), max_concurrent_batches=2,
+        backend="hybrid", fill_overlap=True,
+    )
+    totals = bulk.run_bulk(cfg)
+    assert totals["contigs"] == 4
+    for r, t in zip(fasta.read_seqs(out), truths):
+        assert r.seq.rstrip("Nn") == t.strip("N"), f"{r.id} not recovered"
+
+
+@pytest.mark.slow
 def test_workspace_signal_cleanup(tmp_path):
     """SIGTERM mid-run scrubs the workspace (autocleaner semantics,
     reference goldpolish-autoclean:42-64)."""
