@@ -182,11 +182,22 @@ class EvalConfig:
     thr_edit: float
     thr_missing: float
     s_max: int = 2048
+    # insertion-stage site budget: the [s_ins, C, T] combo prescreen is the
+    # program's dominant probe volume, and the walker only reads ins tables
+    # at sites whose needing lane exists — most heads (accepted subs,
+    # detection noise) never reach the indel branch.  0 -> max(64, s_max/4).
+    # Needing sites beyond the budget get ins_ok=0 (host redo — cost,
+    # never correctness).
+    s_ins: int = 0
+
+    def resolved_s_ins(self) -> int:
+        return self.s_ins or max(64, self.s_max // 4)
 
     def key(self):
         return (self.k, self.h, self.jump, self.max_ins, self.max_del,
                 float(np.float32(self.thr_edit)),
-                float(np.float32(self.thr_missing)), self.s_max)
+                float(np.float32(self.thr_missing)), self.s_max,
+                self.resolved_s_ins())
 
 
 def _accepted_mask(codes):
@@ -206,7 +217,7 @@ def _fused_cached(key: tuple, bits: int, k: int, jump: int, max_ins: int,
     graph once per (batch, k) — measured at seconds per program."""
     cfg = EvalConfig(
         k=k, h=key[1], jump=jump, max_ins=max_ins, max_del=max_del,
-        thr_edit=key[5], thr_missing=key[6], s_max=key[7],
+        thr_edit=key[5], thr_missing=key[6], s_max=key[7], s_ins=key[8],
     )
     from .siteeval import make_tables
 
@@ -244,6 +255,7 @@ def build_fused(cfg: EvalConfig, bits: int, tables: SiteTables,
     """
     k, h, jump = cfg.k, cfg.h, cfg.jump
     S, MD, MI = cfg.s_max, cfg.max_del, cfg.max_ins
+    SI = cfg.resolved_s_ins()
     C = tables.n_combos
     thr_edit = np.float32(cfg.thr_edit)
     thr_missing = np.float32(cfg.thr_missing)
@@ -400,36 +412,63 @@ def build_fused(cfg: EvalConfig, bits: int, tables: SiteTables,
             any_needs, jnp.argmax(needs, axis=1).astype(jnp.int8),
             jnp.int8(-1),
         )
-        lane = jnp.maximum(ins_lane, 0).astype(jnp.int32)
-        index_char = jnp.take_along_axis(cand, lane[:, None], axis=1)[:, 0]
+        # --- compact the needing sites into the ins-stage budget SI:
+        # the walker reads ins tables only where the needing lane exists;
+        # for every other head (an accepted sub, detection noise) the
+        # [*, C, T] combo prescreen below — the program's dominant probe
+        # volume — would be dead weight.  Needing sites beyond the budget
+        # get ins_ok=0 and are redone natively (cost, never correctness).
+        need_flag = any_needs & (site >= 0)
+        nbig = jnp.int32(S + 1)
+        nscore = jnp.where(
+            need_flag, nbig - jnp.arange(S, dtype=jnp.int32), 0
+        )
+        ntop, _ = jax.lax.top_k(nscore, SI)
+        nvalid = ntop > 0
+        nsel = jnp.where(nvalid, nbig - ntop, 0)  # [SI] indices into [S]
+
+        r_n = r_i[nsel]
+        w_n = w_safe[nsel]
+        p_n = p_i[nsel]
+        f_draft_n = f_draft[nsel]
+        r_draft_n = r_draft[nsel]
+        fh0_n = fh0[nsel]
+        rh0_n = rh0[nsel]
+        lane_n = jnp.maximum(ins_lane[nsel], 0).astype(jnp.int32)
+        index_char_n = jnp.take_along_axis(
+            cand[nsel], lane_n[:, None], axis=1
+        )[:, 0]
+
+        def code_at_n(off):
+            return codes[r_n, jnp.minimum(w_n + off, L - 1)]
 
         # --- per-length reference chains: ref combo = index_char + 'A'*(L-1)
-        # chain state [S, MI] (length group L = 1..MI); c_in at roll s:
+        # chain state [SI, MI] (length group L = 1..MI); c_in at roll s:
         #   'A'            s <  L
         #   draft          s == L
         #   codes[p+s-L]   s >  L
         fh_i, rh_i = _changelast(
-            fh0[:, None], rh0[:, None], k,
-            f_draft[:, None],
-            jnp.broadcast_to(fseed_t[index_char][:, None], (S, MI)),
-            r_draft[:, None],
-            jnp.broadcast_to(rseed_t[index_char][:, None], (S, MI)),
+            fh0_n[:, None], rh0_n[:, None], k,
+            f_draft_n[:, None],
+            jnp.broadcast_to(fseed_t[index_char_n][:, None], (SI, MI)),
+            r_draft_n[:, None],
+            jnp.broadcast_to(rseed_t[index_char_n][:, None], (SI, MI)),
         )
         l_grp = jnp.arange(1, MI + 1, dtype=jnp.int32)[None, :]  # [1, MI]
         ref_f = []
         ref_r = []
         for s in range(1, k):  # rolls; probe points at j_ins
-            c_out = code_at(s - 1)
-            suf = codes[r_i[:, None], jnp.minimum(
-                jnp.maximum(p_i[:, None] + s - l_grp, 0), L - 1
+            c_out = code_at_n(s - 1)
+            suf = codes[r_n[:, None], jnp.minimum(
+                jnp.maximum(p_n[:, None] + s - l_grp, 0), L - 1
             )]
             f_in = jnp.where(
                 s < l_grp, fa,
-                jnp.where(s == l_grp, f_draft[:, None], fseed_t[suf]),
+                jnp.where(s == l_grp, f_draft_n[:, None], fseed_t[suf]),
             )
             r_in = jnp.where(
                 s < l_grp, ra,
-                jnp.where(s == l_grp, r_draft[:, None], rseed_t[suf]),
+                jnp.where(s == l_grp, r_draft_n[:, None], rseed_t[suf]),
             )
             fh_i, rh_i = _roll(
                 fh_i, rh_i, k,
@@ -438,34 +477,43 @@ def build_fused(cfg: EvalConfig, bits: int, tables: SiteTables,
             if s in j_ins:
                 ref_f.append(fh_i)
                 ref_r.append(rh_i)
-        ref_f = jnp.stack(ref_f, axis=-1)  # [S, MI, T]
+        ref_f = jnp.stack(ref_f, axis=-1)  # [SI, MI, T]
         ref_r = jnp.stack(ref_r, axis=-1)
         T = ref_f.shape[-1]
 
         # --- stage 1: h1-only upper bound for every combo
         grp = combo_len_t - 1  # [C] length-group index
-        cf = ref_f[:, grp, :] ^ d_f_ins_t[None, :, :]  # [S, C, T]
+        cf = ref_f[:, grp, :] ^ d_f_ins_t[None, :, :]  # [SI, C, T]
         cr = ref_r[:, grp, :] ^ d_r_ins_t[None, :, :]
         cbase = cf + cr
         maybe = probe_h1(words, cbase)  # h1 bit only
-        maybe_cnt = maybe.sum(axis=-1, dtype=jnp.int32)  # [S, C]
+        maybe_cnt = maybe.sum(axis=-1, dtype=jnp.int32)  # [SI, C]
         can_pass = maybe_cnt.astype(jnp.float32) >= thr_edit
         n_surv = can_pass.sum(axis=1)
-        ins_ok = (n_surv <= T_SURVIVORS).astype(jnp.uint8)
+        ins_ok_n = ((n_surv <= T_SURVIVORS) & nvalid).astype(jnp.uint8)
 
         # --- stage 2: full-h exact probes for the survivors
         surv_score = jnp.where(can_pass, jnp.int32(C) - jnp.arange(C)[None, :], 0)
-        top_s, _ = jax.lax.top_k(surv_score, T_SURVIVORS)  # [S, T_SURV]
+        top_s, _ = jax.lax.top_k(surv_score, T_SURVIVORS)  # [SI, T_SURV]
         surv_idx = jnp.where(top_s > 0, jnp.int32(C) - top_s, 0)
         surv_valid = top_s > 0
         sbase = jnp.take_along_axis(cbase, surv_idx[:, :, None], axis=1)
         exact = probe_full(words, sbase).sum(
             axis=-1, dtype=jnp.int8
-        )  # [S, T_SURV]
-        ins_sup = jnp.zeros((S, C), jnp.int8)
-        ins_sup = ins_sup.at[
-            jnp.arange(S, dtype=jnp.int32)[:, None], surv_idx
+        )  # [SI, T_SURV]
+        ins_sup_n = jnp.zeros((SI, C), jnp.int8)
+        ins_sup_n = ins_sup_n.at[
+            jnp.arange(SI, dtype=jnp.int32)[:, None], surv_idx
         ].max(jnp.where(surv_valid, exact, 0), mode="drop")
+
+        # --- scatter the compacted results back to the [S] site lanes
+        scat = jnp.where(nvalid, nsel, jnp.int32(S))
+        ins_ok = jnp.zeros(S + 1, jnp.uint8).at[scat].max(
+            ins_ok_n, mode="drop"
+        )[:S]
+        ins_sup = jnp.zeros((S + 1, C), jnp.int8).at[scat].max(
+            jnp.where(nvalid[:, None], ins_sup_n, 0), mode="drop"
+        )[:S]
 
         packed = scan_conv._pack_bits(present)
         return (packed, n_sites, site, gate.astype(jnp.uint8),
