@@ -75,7 +75,10 @@ class PackedReadStream:
         total = sum(len(r) for r in reads)
         rows = max(1, -(-total // ROW_NW))
         rows_padded = 1 << (rows - 1).bit_length()
-        buf = np.full(rows_padded * ROW_NW + KHALO, ord("A"), np.uint8)
+        # one extra ROW_NW of padding (not just KHALO) so the device can
+        # build the halo columns of EVERY row with plain reshapes of the
+        # flat stream (see _stream_onehot_packed)
+        buf = np.full(rows_padded * ROW_NW + ROW_NW, ord("A"), np.uint8)
         offsets = np.zeros(len(reads) + 1, np.int64)
         off = 0
         for i, r in enumerate(reads):
@@ -83,6 +86,7 @@ class PackedReadStream:
             offsets[i] = off
             off += len(r)
         offsets[-1] = off
+        self.buf = buf
         self.codes = np.lib.stride_tricks.as_strided(
             buf, (rows_padded, ROW_NW + KHALO), (ROW_NW, 1)
         )
@@ -121,18 +125,55 @@ def _stream_meta(offsets, thrs, n_stream: int, k_pad: int):
 _stream_meta_jit = jax.jit(_stream_meta, static_argnums=(2, 3))
 
 
-def _fill_k(codes, cs, thr_base, total, k: int, h: int, thresh_delta: int,
+_EXC_CAP = 8192  # non-ACGT positions carried alongside the packed upload
+
+
+def _stream_onehot_packed(packed, exc_idx, exc_byte, R: int):
+    """2-bit packed flat stream (+ exceptions) -> one-hot rows
+    [R, ROW_NW + KHALO, 12] bf16, shared by every k's conv.
+
+    The halo columns of row r are the first KHALO bases of row r+1's
+    span, so both the main and halo parts are plain reshapes of the flat
+    class arrays — no gathers, no strided views on device."""
+    Lt = R * ROW_NW + ROW_NW
+    clsf, clsr = scan_conv._classes_from_packed(
+        packed[None, :], Lt, exc_idx[None, :], exc_byte[None, :]
+    )
+
+    def rows(x):
+        main = x[:, : R * ROW_NW].reshape(R, ROW_NW)
+        halo = x[:, ROW_NW : ROW_NW + R * ROW_NW].reshape(R, ROW_NW)[
+            :, :KHALO
+        ]
+        return jnp.concatenate([main, halo], axis=1)
+
+    return scan_conv._onehot12_from_classes(rows(clsf), rows(clsr))
+
+
+def _stream_onehot_raw(codes):
+    """Raw byte rows fallback (exception-dense streams)."""
+    return scan_conv._onehot12(codes)
+
+
+_stream_onehot_packed_jit = jax.jit(_stream_onehot_packed,
+                                    static_argnums=(3,))
+_stream_onehot_raw_jit = jax.jit(_stream_onehot_raw)
+
+
+def _fill_k(oh, cs, thr_base, total, k: int, h: int, thresh_delta: int,
             cbf_size: int, bits: int, dmax: int):
     """One k's full build: returns (bf words uint32[bits/32], n_runs).
 
-    total: traced scalar — stream length (padding windows past it are
-    masked without a shape change).  thresh_delta: the per-k escalation
-    ki - 2 (reference src/utils.cpp:105-107).
+    oh: one-hot rows [R, ROW_NW + KHALO, 12] (built once per batch,
+    shared by every k).  total: traced scalar — stream length (padding
+    windows past it are masked without a shape change).  thresh_delta:
+    the per-k escalation ki - 2 (reference src/utils.cpp:105-107).
     """
-    R, Lr = codes.shape
+    R, Lr = oh.shape[0], oh.shape[1]
     nw = Lr - k + 1
     n_stream = R * ROW_NW
-    base = scan_conv.canonical_hashes_conv(codes, k)  # [R, nw] u64
+    fh, rh = scan_conv._strand_hashes_from_onehot(oh, k)
+    base = fh + rh  # [R, nw] u64
 
     # validity + threshold per window, all via slices of the stream arrays
     cs0 = jax.lax.dynamic_slice(cs, (0,), (n_stream,)).reshape(R, ROW_NW)
@@ -209,7 +250,30 @@ def device_fill_bfs_sorted(reads: list[bytes], thrs: list[int],
     if not reads:
         return [bloom.BloomFilter(bf_bytes, hash_num, k) for k in k_values]
     stream = PackedReadStream(reads, thrs)
-    codes = jax.device_put(np.ascontiguousarray(stream.codes))
+    # 2-bit packed transfer (4x smaller upload) when the native packer is
+    # available and the stream is not exception-dense; raw bytes otherwise
+    oh = None
+    try:
+        from .. import native
+
+        res = native.pack2(stream.buf, _EXC_CAP)
+    except Exception:  # noqa: BLE001 — no native lib: raw transfer
+        res = None
+    if res is not None:
+        packed, exc_pos, exc_byte = res
+        Lt = len(stream.buf)
+        exc_idx_a = np.full(_EXC_CAP, Lt, np.int64)
+        exc_byte_a = np.zeros(_EXC_CAP, np.uint8)
+        exc_idx_a[: len(exc_pos)] = exc_pos
+        exc_byte_a[: len(exc_byte)] = exc_byte
+        oh = _stream_onehot_packed_jit(
+            jax.device_put(packed), jax.device_put(exc_idx_a),
+            jax.device_put(exc_byte_a), stream.rows,
+        )
+    if oh is None:
+        oh = _stream_onehot_raw_jit(
+            jax.device_put(np.ascontiguousarray(stream.codes))
+        )
     offsets = jax.device_put(stream.offsets)
     thrs_a = jax.device_put(stream.thrs)
     total = jnp.int32(stream.total)
@@ -223,7 +287,7 @@ def device_fill_bfs_sorted(reads: list[bytes], thrs: list[int],
         words = None
         for dmax in (max(1024, n // 4), max(1024, n // 2), n):
             w, n_runs = _fill_k_jit(
-                codes, cs, thr_base, total, k, hash_num, ki - 2,
+                oh, cs, thr_base, total, k, hash_num, ki - 2,
                 cbf_bytes, bits, dmax,
             )
             if int(n_runs) <= dmax:

@@ -103,6 +103,26 @@ def test_sorted_dmax_fallback_unique_kmers():
     assert bytes(srt[0].array) == bytes(old[0].array)
 
 
+def test_sorted_packed_transfer_full_alphabet():
+    """The 2-bit packed upload (+ exception scatter) is bit-exact with the
+    raw-byte path for lowercase and non-ACGT bytes."""
+    rng = np.random.default_rng(6)
+    t = np.frombuffer(b"ACGT", np.uint8)[rng.integers(0, 4, 9000)].tobytes()
+    # sprinkle lowercase + N + IUPAC into the reads
+    tl = bytearray(t)
+    for p in range(50, 8900, 137):
+        tl[p] = ord("acgtNRYn"[p % 8])
+    t2 = bytes(tl)
+    reads = [t2[s : s + 1500 + 32] for s in range(0, 7500, 300)]
+    ks = [32, 28]
+    srt = bloom_sort.device_fill_bfs_sorted(
+        reads, [4] * len(reads), ks, H, CBF_BYTES, BF_BYTES
+    )
+    old = bf_builder.device_fill_bfs({4: reads}, ks, H, CBF_BYTES, BF_BYTES)
+    for k, a, b in zip(ks, srt, old):
+        assert bytes(a.array) == bytes(b.array), k
+
+
 @pytest.mark.slow
 def test_sorted_edge_cases():
     # reads shorter than k contribute nothing; empty list yields empty BFs
