@@ -290,11 +290,13 @@ def _pipeline_stream(batches, procs, fill: str, backend: str,
         while True:
             with lock:
                 un = [i for i in range(n) if state[i] == "un"]
-                # in overlap mode leave the frontmost unclaimed batch to
-                # the host so the polish loop never stalls on the chip
+                # pure-device mode fills FRONT-first (polish starts asap);
+                # overlap mode claims from the TAIL and leaves the
+                # frontmost unclaimed batch to the host so the polish
+                # loop never stalls on the chip
                 if not un or (not allow_all and len(un) <= 1):
                     return
-                i = un[-1]
+                i = un[0] if allow_all else un[-1]
                 state[i] = "dev"
             try:
                 batches[i].fill_device()
