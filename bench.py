@@ -336,11 +336,45 @@ def main():
     if backend == "numpy":
         platform = "host"  # pure-host run: skip jax init (and any TPU grant)
     else:
-        import jax
+        # The tunneled chip's service can wedge (sessions hang at init or
+        # the first op with zero progress — observed 25+ min).  Probe it
+        # from a daemon thread with a deadline; on timeout fall back to
+        # the host-only arms so the round still produces an artifact.
+        import queue as _queue
+        import threading
 
-        platform = jax.devices()[0].platform
-        on_accel = platform not in ("cpu",)
-        backend = backend or ("hybrid" if on_accel else "numpy")
+        def _device_probe(q):
+            try:
+                import jax as _jax
+
+                d = _jax.devices()[0]
+                import jax.numpy as _jnp
+
+                int(_jnp.arange(8).sum())  # forces a real round trip
+                q.put(d.platform)
+            except Exception as e:  # noqa: BLE001
+                q.put(f"error:{e}")
+
+        deadline = float(os.environ.get("GPTPU_BENCH_DEVICE_DEADLINE", 600))
+        q: _queue.Queue = _queue.Queue()
+        threading.Thread(
+            target=_device_probe, args=(q,), daemon=True
+        ).start()
+        try:
+            platform = q.get(timeout=deadline)
+        except _queue.Empty:
+            platform = "device-unavailable"
+        if platform.startswith(("device-unavailable", "error:")):
+            print(
+                f"# device probe failed within {deadline:.0f}s "
+                f"({platform}) — host-only arms", file=sys.stderr, flush=True,
+            )
+            backend = "numpy"
+        else:
+            import jax
+
+            on_accel = platform not in ("cpu",)
+            backend = backend or ("hybrid" if on_accel else "numpy")
     n_bases = int(os.environ.get("GPTPU_BENCH_BASES", 8_000_000))
     n_contigs = max(1, int(os.environ.get("GPTPU_BENCH_CONTIGS", 8)))
     n_batches = max(1, int(os.environ.get("GPTPU_BENCH_BATCHES", 4)))
@@ -517,6 +551,7 @@ def main():
         "pipeline_rate": round(pipeline_rate, 1) if pipeline_rate else None,
         "recovered": recovered,
         "scan": scan,
+        "platform": platform,
     }
     print(json.dumps(result))
     print(
