@@ -73,6 +73,14 @@ class PackedReadStream:
         assert len(reads) == len(thrs)
         assert all(0 < t <= MAX_THR for t in thrs), "thresholds must fit 4 bits"
         total = sum(len(r) for r in reads)
+        # the device's position-tagged threshold fill-forward packs
+        # pos*16 + thr into int32 (_stream_meta); larger streams must
+        # chunk at the caller (build_batch_device falls back to host)
+        if total >= (1 << 27):
+            raise ValueError(
+                f"read stream too large for one device build ({total}"
+                " bases >= 2^27); split the batch or use the host fill"
+            )
         rows = max(1, -(-total // ROW_NW))
         rows_padded = 1 << (rows - 1).bit_length()
         # one extra ROW_NW of padding (not just KHALO) so the device can
