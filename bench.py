@@ -14,14 +14,16 @@ noise swings 2x between identical runs):
   * adaptive       — the production hybrid path: fused MXU conv-hash +
                      Bloom-probe scans on the TPU through the lookahead
                      pipeline (polish/scanpipe) while the host cores walk;
-                     per-k A/B placement with periodic re-probe.
+                     A/B placement locks once per workload class (lazy
+                     device scanners — no uploads when host wins).
   * forced_device  — same engines with GPTPU_FORCE_DEVICE_SCAN=1 (no
                      placement demotion; the pure device-arm number).
 
-Also measured: host vs device Bloom-filter fill (bf_builder.device_fill_bfs
-A/B), and a production-shaped PIPELINE stream — batch N+1's filters fill
-(winning placement) while batch N polishes (adaptive engines), engine
-construction and uploads included — reported as pipeline_rate.
+Also measured: host vs device Bloom-filter fill (ops/bloom_sort sorted
+build), and two production-shaped PIPELINE streams — fill=host (lookahead
+thread) and fill=overlap (a device thread claims fill batches from the
+tail while the host fills from the front) — engine construction included;
+the better stream is pipeline_rate and both are recorded in fill{}.
 
 Prints ONE JSON line with {"metric", "value", "unit", "vs_baseline"} plus
 parsed fields: arms{}, locks{}, fill{}, pipeline_rate, recovered.  value is
