@@ -463,6 +463,39 @@ class NtEditTPU:
         except Exception:  # noqa: BLE001
             return False
 
+    def _find_cuts_probe(self, s: bytes, n_pieces: int) -> list[int]:
+        """_find_cuts without a precomputed present[]: the clean-window
+        test probes only the 4k windows around each candidate cut (a few
+        hundred probes per cut vs a full dense scan), with the SAME
+        clean criterion — identical cut decisions, so slices still polish
+        byte-identically to the whole."""
+        k = self.cfg.k
+        n = len(s)
+        n_win = n - k + 1
+        margin = 2 * k
+
+        def clean(a: int, b: int) -> bool:
+            a, b = max(a, 0), min(b, n_win)
+            if b <= a:
+                return False
+            seg = np.frombuffer(s[a : b + k - 1], np.uint8)
+            return bool(self._present_host(seg).all())
+
+        cuts: list[int] = []
+        for p in range(1, n_pieces):
+            t = p * n // n_pieces
+            found = -1
+            for off in range(0, max(64, n // (4 * n_pieces)), 64):
+                for c in (t - off, t + off):
+                    if margin < c < n - margin and clean(c - margin, c + margin):
+                        found = c
+                        break
+                if found >= 0:
+                    break
+            if found >= 0 and (not cuts or found - cuts[-1] > 4 * margin):
+                cuts.append(found)
+        return cuts
+
     # -- phase A --------------------------------------------------------------
     def _present_host(self, codes: np.ndarray) -> np.ndarray:
         """Host-side dense scan (native when available)."""
@@ -688,18 +721,23 @@ class NtEditTPU:
         if processes > 1:
             k = self.cfg.k
             # work items: whole contigs, plus slices of contigs long enough
-            # to shard (cut points sit mid-clean-run; see _find_cuts)
+            # to shard (cut points sit mid-clean-run; see _find_cuts).
+            # When no presence bits exist yet (pure-host path), cuts come
+            # from SPARSE on-demand probes (_find_cuts_probe) and each
+            # worker self-scans its piece — pre-scanning whole contigs in
+            # the parent serialized the dense scan and capped the pool at
+            # ~1x on clean data (the walk is cheap when few sites fire).
             items: list[tuple[int, int, bytes, np.ndarray | None]] = []
             for i, s in enumerate(seqs):
                 pieces = min(processes, max(1, -(-len(s) // shard_bases)))
                 if pieces > 1:
                     pres = presents.get(i)
-                    if pres is None and len(s) >= k:
-                        pres = self._present_host(np.frombuffer(s, np.uint8))
-                    cuts = (
-                        _find_cuts(pres, k, len(s), pieces)
-                        if pres is not None else []
-                    )
+                    if pres is not None:
+                        cuts = _find_cuts(pres, k, len(s), pieces)
+                    elif len(s) >= k:
+                        cuts = self._find_cuts_probe(s, pieces)
+                    else:
+                        cuts = []
                     bounds = [0, *cuts, len(s)]
                     for a, b in zip(bounds[:-1], bounds[1:]):
                         items.append(
