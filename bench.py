@@ -288,6 +288,8 @@ def _pipeline_stream(batches, procs, fill: str, backend: str,
         batches[i].fill_host()
         done[i].set()
 
+    fill_errors: dict = {}
+
     def dev_loop(allow_all: bool):
         while True:
             with lock:
@@ -301,10 +303,14 @@ def _pipeline_stream(batches, procs, fill: str, backend: str,
                 i = un[0] if allow_all else un[-1]
                 state[i] = "dev"
             try:
-                batches[i].fill_device()
-            except Exception:  # noqa: BLE001 — device failure: host fills
-                batches[i].fill_host()
-            done[i].set()
+                try:
+                    batches[i].fill_device()
+                except Exception:  # noqa: BLE001 — device failure: host fills
+                    batches[i].fill_host()
+            except Exception as e:  # noqa: BLE001 — surface, don't hang
+                fill_errors[i] = e
+            finally:
+                done[i].set()
 
     t0 = time.time()
     if fill in ("device", "overlap"):
@@ -318,6 +324,8 @@ def _pipeline_stream(batches, procs, fill: str, backend: str,
             if i + 1 < n and fill != "device" and claim(i + 1, "host"):
                 ex.submit(host_fill, i + 1)
             done[i].wait()
+            if i in fill_errors:
+                raise fill_errors[i]
             engines = engines_for([b], backend)[0]
             cur = b.drafts
             for eng in engines:
@@ -483,8 +491,11 @@ def main():
         }
         from goldpolish_tpu.polish import ntedit_tpu as _nt
 
+        # full workload-class key: two classes sharing k (e.g. different
+        # filter-size buckets) must not collapse into one artifact entry
         locks = {
-            f"k{key[0]}": ab.get("locked") or "device"
+            f"k{key[0]}/{key[2]}/bf2^{key[3]}/g{key[4]}":
+                ab.get("locked") or "device"
             for key, ab in _nt._AB_RUNS.items()
         }
         scan = "device" if any(v == "device" for v in locks.values()) else "host"

@@ -70,8 +70,18 @@ class PackedReadStream:
     """
 
     def __init__(self, reads: list[bytes], thrs: list[int]):
-        assert len(reads) == len(thrs)
-        assert all(0 < t <= MAX_THR for t in thrs), "thresholds must fit 4 bits"
+        if len(reads) != len(thrs):
+            raise ValueError("reads and thresholds must align")
+        if not all(0 < t <= MAX_THR for t in thrs):
+            # the device packs pos*16 + thr (_stream_meta); a threshold
+            # outside 4 bits would silently corrupt the fill-forward
+            raise ValueError(f"thresholds must be in 1..{MAX_THR}")
+        # zero-length reads contribute no k-mers but their zero-width span
+        # would collide with the NEXT read's start tag in the threshold
+        # fill-forward (max of tied offsets wins) — drop them up front
+        keep = [(r, t) for r, t in zip(reads, thrs) if len(r)]
+        reads = [r for r, _ in keep]
+        thrs = [t for _, t in keep]
         total = sum(len(r) for r in reads)
         # the device's position-tagged threshold fill-forward packs
         # pos*16 + thr into int32 (_stream_meta); larger streams must

@@ -332,6 +332,7 @@ def run_bulk(cfg: PipelineConfig) -> dict:
             fill_futs: dict = {}
             fill_started: set = set()
             fill_lock = _threading.Lock()
+            fill_done_cv = _threading.Condition(fill_lock)
             pos_of = {b.index: p for p, b in enumerate(my_batches)}
 
             def _timed_fill(ids):
@@ -360,10 +361,20 @@ def run_bulk(cfg: PipelineConfig) -> dict:
                 # the device claims fill batches from the TAIL while the
                 # host lookahead works the front — whoever claims first
                 # fills; device-claimed batches get the documented
-                # slight-superset sort-based filters (ops/bloom_sort)
+                # slight-superset sort-based filters (ops/bloom_sort).
+                # Claims are bounded: at most DEV_FILL_AHEAD unconsumed
+                # futures may be outstanding (filters are MBs per batch —
+                # an unbounded claimer would pin the whole tail resident),
+                # and ANY failure lands in the future (set_exception), so
+                # the consuming worker surfaces it instead of deadlocking.
+                DEV_FILL_AHEAD = 3
+
                 def _dev_fill_loop():
                     while True:
-                        with fill_lock:
+                        with fill_done_cv:
+                            while len(fill_futs) >= DEV_FILL_AHEAD + 1:
+                                if not fill_done_cv.wait(timeout=30):
+                                    continue
                             todo = [
                                 p for p in range(len(my_batches))
                                 if my_batches[p].index not in fill_started
@@ -380,13 +391,17 @@ def run_bulk(cfg: PipelineConfig) -> dict:
                         ids = [h.split()[0] for h, _ in b.records]
                         t0 = _time2.monotonic()
                         try:
-                            bfs = builder.build_batch_device(ids)
-                        except Exception:  # noqa: BLE001 — host fallback
-                            log.warning(
-                                "device fill failed for batch %d; host "
-                                "fill fallback", b.index, exc_info=True,
-                            )
-                            bfs = builder.build_batch(ids)
+                            try:
+                                bfs = builder.build_batch_device(ids)
+                            except Exception:  # noqa: BLE001 — host fallback
+                                log.warning(
+                                    "device fill failed for batch %d; host "
+                                    "fill fallback", b.index, exc_info=True,
+                                )
+                                bfs = builder.build_batch(ids)
+                        except Exception as e:  # noqa: BLE001
+                            fut.set_exception(e)
+                            return
                         fut.set_result((bfs, _time2.monotonic() - t0))
 
                 _threading.Thread(
@@ -400,8 +415,9 @@ def run_bulk(cfg: PipelineConfig) -> dict:
                 batch_bfs, fill_s = await loop.run_in_executor(
                     None, fut.result
                 )
-                with fill_lock:
+                with fill_done_cv:
                     fill_futs.pop(batch.index, None)
+                    fill_done_cv.notify_all()
                 res = await loop.run_in_executor(
                     None, polish_batch_records, batch.records, builder, cfg,
                     batch_bfs,

@@ -511,7 +511,13 @@ class NtEditTPU:
     def _probe_all(self, codes: np.ndarray) -> np.ndarray:
         k, h = self.cfg.k, self.cfg.h
         n = len(codes)
-        self._ensure_scanner()  # single-contig hybrid path: device scan
+        import os as _os
+
+        if _os.environ.get("GPTPU_FORCE_DEVICE_SCAN"):
+            self._ensure_scanner()
+        # lazy contract: a hybrid engine whose workload never chose a
+        # device mode scans on host here too — polish_contig on a small
+        # input must not pay a scanner construction + filter upload
         if self._scanner is not None:  # hybrid: fused device scan
             bucket = max(256, 1 << (n - 1).bit_length())
             padded = np.zeros(bucket, np.uint8)

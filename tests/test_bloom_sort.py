@@ -103,6 +103,24 @@ def test_sorted_dmax_fallback_unique_kmers():
     assert bytes(srt[0].array) == bytes(old[0].array)
 
 
+def test_sorted_empty_read_does_not_corrupt_next_threshold():
+    """A zero-length read with a HIGHER threshold must not raise the
+    following read's effective threshold (zero-width spans collide with
+    the next read's start tag in the fill-forward — review r4 finding)."""
+    rng = np.random.default_rng(7)
+    truth = np.frombuffer(b"ACGT", np.uint8)[rng.integers(0, 4, 6000)].tobytes()
+    reads_real = _reads_cov(truth, 6)
+    reads = [b""] + reads_real
+    thrs = [13] + [5] * len(reads_real)
+    srt = bloom_sort.device_fill_bfs_sorted(reads, thrs, [32], H,
+                                            CBF_BYTES, BF_BYTES)
+    old = bf_builder.device_fill_bfs({5: reads_real}, [32], H, CBF_BYTES,
+                                     BF_BYTES)
+    assert bytes(srt[0].array) == bytes(old[0].array)
+    host = _host_fill(reads_real, [5] * len(reads_real), [32])
+    assert np.all((host[0].array & ~srt[0].array) == 0)
+
+
 def test_sorted_packed_transfer_full_alphabet():
     """The 2-bit packed upload (+ exception scatter) is bit-exact with the
     raw-byte path for lowercase and non-ACGT bytes."""

@@ -32,7 +32,9 @@ def t_min(fn, arrs, reps=5):
         t0 = time.perf_counter()
         r = fn(arrs[i % len(arrs)])
         first = r[0] if isinstance(r, (tuple, list)) else r
-        _ = np.asarray(first).ravel()[:1]
+        # slice ON DEVICE, then fetch one element — np.asarray(first)
+        # would ship the whole output through the tunnel into the timing
+        _ = np.asarray(first.ravel()[:1] if hasattr(first, "ravel") else first)
         best = min(best, time.perf_counter() - t0)
     return best
 
