@@ -343,6 +343,37 @@ def main():
         print(f"# [{time.time()-t_start:7.1f}s] {msg}", file=sys.stderr,
               flush=True)
 
+    # Total-deadline watchdog: the tunneled chip's service can degrade
+    # MID-RUN (device calls that normally take ~1s stall for tens of
+    # minutes).  If the bench has not printed its JSON line by the
+    # deadline, emit a partial artifact from whatever was measured and
+    # exit — an artifact with "partial": true beats a hung process.
+    import threading as _threading
+
+    partial: dict = {"printed": False}
+
+    def _watchdog():
+        deadline = float(os.environ.get("GPTPU_BENCH_TOTAL_DEADLINE", 2700))
+        time.sleep(deadline)
+        if partial.get("printed"):
+            return
+        out = {
+            "metric": "polished_bases_per_sec_chip",
+            "value": partial.get("value", 0.0),
+            "unit": "bases/s/chip",
+            "vs_baseline": partial.get("vs_baseline", 0.0),
+            "partial": True,
+            "note": f"device service stalled; watchdog fired at {deadline:.0f}s",
+            **{k: v for k, v in partial.items()
+               if k not in ("printed", "value", "vs_baseline")},
+        }
+        print(json.dumps(out), flush=True)
+        print("# bench watchdog: device service stalled mid-run; partial "
+              "artifact emitted", file=sys.stderr, flush=True)
+        os._exit(0)
+
+    _threading.Thread(target=_watchdog, daemon=True).start()
+
     jax = None
     backend = os.environ.get("GPTPU_BENCH_BACKEND")
     if backend == "numpy":
@@ -424,6 +455,18 @@ def main():
     host_chain = _chain_fn(host_engines, batches, procs,
                            shard_bases=shard_bases)
     if backend != "numpy":
+        # provisional host numbers for the watchdog's partial artifact
+        # (the device phases below are where a degraded service stalls);
+        # doubles as the host chain's warmup
+        t0 = time.time()
+        host_chain()
+        t_prov = time.time() - t0
+        partial.update(
+            value=round(total / t_prov, 1),
+            arms={"host_all_1rep": round(total / t_prov, 1)},
+            fill={"host_s": round(fill_host_s, 2)},
+        )
+        mark("provisional host pass recorded")
         # device fill A/B (first batch bears XLA compiles; time batch 1+)
         dev_fill_ok = True
         try:
@@ -483,6 +526,11 @@ def main():
         arms["adaptive"] = round(rate_dev, 1)
         arms["forced_device"] = round(
             total / spread["forced_device"]["min"], 1
+        )
+        partial.update(
+            value=round(max(rate_host, rate_dev), 1),
+            vs_baseline=round(max(rate_host, rate_dev) / rate_1t, 3),
+            arms=dict(arms),
         )
         arm_spread = {
             name: {"min_s": round(s["min"], 3), "max_s": round(s["max"], 3),
@@ -570,6 +618,7 @@ def main():
         "scan": scan,
         "platform": platform,
     }
+    partial["printed"] = True
     print(json.dumps(result))
     print(
         f"# platform={platform} backend={backend} scan={scan}"
