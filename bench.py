@@ -32,7 +32,9 @@ the production configuration's polished bases/s/chip.
 Env knobs: GPTPU_BENCH_BASES (default 8M), GPTPU_BENCH_CONTIGS (default 16),
 GPTPU_BENCH_BATCHES (default 16), GPTPU_BENCH_PROCS (default cpu count),
 GPTPU_BENCH_BACKEND (numpy forces host-only), GPTPU_PROFILE (jax profiler
-trace dir).  Default 4 batches of 2 Mbp: measured best for every arm on
+trace dir), GPTPU_BENCH_DEVICE_DEADLINE (s; device probe watchdog before
+any device arm runs), GPTPU_BENCH_TOTAL_DEADLINE (s; partial-artifact
+watchdog for mid-run service stalls).  Default 4 batches of 2 Mbp: measured best for every arm on
 this box — a 16x500 Kbp reference-grain variant (fixed 512 KiB filters,
 src/goldpolish_targeted_bfs.cpp:270-272, MXU-probe-eligible) was measured
 WORSE for host (9.1 vs 12.4 Mbp/s; 32 small polish_many calls) and no
