@@ -142,6 +142,40 @@ def test_sorted_packed_transfer_full_alphabet():
 
 
 @pytest.mark.slow
+def test_sorted_randomized_soak():
+    """Randomized read sets (mixed lengths incl. <k and empty, mixed
+    thresholds, shared + unique content) stay bit-identical to the
+    scatter build across several seeds."""
+    for seed in range(4):
+        rng = np.random.default_rng(100 + seed)
+        base = np.frombuffer(b"ACGT", np.uint8)[
+            rng.integers(0, 4, 4000)
+        ].tobytes()
+        reads, thrs, by_thresh = [], [], {}
+        for _ in range(int(rng.integers(5, 25))):
+            if rng.random() < 0.15:  # unique random read
+                ln = int(rng.integers(0, 900))
+                r = np.frombuffer(b"ACGT", np.uint8)[
+                    rng.integers(0, 4, ln)
+                ].tobytes()
+            else:  # slice of the shared genome (coverage)
+                a = int(rng.integers(0, 3500))
+                r = base[a : a + int(rng.integers(10, 1200))]
+            t = int(rng.integers(4, 14))
+            reads.append(r)
+            thrs.append(t)
+            if r:
+                by_thresh.setdefault(t, []).append(r)
+        ks = [32, 28][: 1 + seed % 2]
+        srt = bloom_sort.device_fill_bfs_sorted(reads, thrs, ks, H,
+                                                CBF_BYTES, BF_BYTES)
+        old = bf_builder.device_fill_bfs(by_thresh, ks, H, CBF_BYTES,
+                                         BF_BYTES)
+        for k, a, b in zip(ks, srt, old):
+            assert bytes(a.array) == bytes(b.array), (seed, k)
+
+
+@pytest.mark.slow
 def test_sorted_edge_cases():
     # reads shorter than k contribute nothing; empty list yields empty BFs
     short = b"ACGTACGT"
