@@ -591,6 +591,24 @@ def main():
         pipeline_rate = total / t_pipe
     outs, chain_stats = chain_out
 
+    # noisy case (CLAUDE.md rule: unfixable masked clusters dominate REAL
+    # noisy batches — a clean-data-only bench overfits): 1 Mb draft at
+    # ~2% mixed errors against the batch-0 filters, host engines,
+    # min-of-3.  Reported as noisy_rate, not part of the headline.
+    noisy_truth = batches[0].truths[0][:1_000_000]
+    noisy_draft, _ = _mutate(noisy_truth, err_spacing=50)
+    noisy_eng = host_engines[0]
+    t_noisy = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        cur = [noisy_draft]
+        for eng in noisy_eng:
+            cur = [o for o, _r, _e in eng.polish_many(
+                cur, processes=procs, shard_bases=shard_bases)]
+        t_noisy = min(t_noisy, time.time() - t0)
+    noisy_rate = len(noisy_draft) / t_noisy
+    mark(f"noisy case done ({t_noisy:.2f}s)")
+
     headline = rate_dev if scan != "host" else rate_host
 
     # exact recovery (mask=1 lowercases unfixable sites; the pipeline's
@@ -616,6 +634,7 @@ def main():
         "locks": locks,
         "fill": fill,
         "pipeline_rate": round(pipeline_rate, 1) if pipeline_rate else None,
+        "noisy_rate": round(noisy_rate, 1),
         "recovered": recovered,
         "scan": scan,
         "platform": platform,
