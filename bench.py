@@ -29,8 +29,8 @@ Prints ONE JSON line with {"metric", "value", "unit", "vs_baseline"} plus
 parsed fields: arms{}, locks{}, fill{}, pipeline_rate, recovered.  value is
 the production configuration's polished bases/s/chip.
 
-Env knobs: GPTPU_BENCH_BASES (default 8M), GPTPU_BENCH_CONTIGS (default 16),
-GPTPU_BENCH_BATCHES (default 16), GPTPU_BENCH_PROCS (default cpu count),
+Env knobs: GPTPU_BENCH_BASES (default 8M), GPTPU_BENCH_CONTIGS (default 8),
+GPTPU_BENCH_BATCHES (default 4), GPTPU_BENCH_PROCS (default cpu count),
 GPTPU_BENCH_BACKEND (numpy forces host-only), GPTPU_PROFILE (jax profiler
 trace dir), GPTPU_BENCH_DEVICE_DEADLINE (s; device probe watchdog before
 any device arm runs), GPTPU_BENCH_TOTAL_DEADLINE (s; partial-artifact
