@@ -459,16 +459,23 @@ def main():
     if backend != "numpy":
         # provisional host numbers for the watchdog's partial artifact
         # (the device phases below are where a degraded service stalls);
-        # doubles as the host chain's warmup
+        # doubles as both chains' warmup
         t0 = time.time()
         host_chain()
         t_prov = time.time() - t0
+        t0 = time.time()
+        base_chain()
+        t_prov_1t = time.time() - t0
         partial.update(
             value=round(total / t_prov, 1),
-            arms={"host_all_1rep": round(total / t_prov, 1)},
+            vs_baseline=round(
+                (total / t_prov) / (base_bases / t_prov_1t), 3
+            ),
+            arms={"host_all_1rep": round(total / t_prov, 1),
+                  "baseline_1t_1rep": round(base_bases / t_prov_1t, 1)},
             fill={"host_s": round(fill_host_s, 2)},
         )
-        mark("provisional host pass recorded")
+        mark("provisional host+baseline passes recorded")
         # device fill A/B (first batch bears XLA compiles; time batch 1+)
         dev_fill_ok = True
         try:
