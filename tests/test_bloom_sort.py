@@ -47,6 +47,7 @@ def test_sorted_equals_scatter_build():
         assert bytes(a.array) == bytes(b.array), k
 
 
+@pytest.mark.slow
 def test_sorted_superset_of_host():
     rng = np.random.default_rng(1)
     truth = np.frombuffer(b"ACGT", np.uint8)[rng.integers(0, 4, 30000)].tobytes()
@@ -103,6 +104,7 @@ def test_sorted_dmax_fallback_unique_kmers():
     assert bytes(srt[0].array) == bytes(old[0].array)
 
 
+@pytest.mark.slow
 def test_sorted_empty_read_does_not_corrupt_next_threshold():
     """A zero-length read with a HIGHER threshold must not raise the
     following read's effective threshold (zero-width spans collide with
@@ -121,6 +123,7 @@ def test_sorted_empty_read_does_not_corrupt_next_threshold():
     assert np.all((host[0].array & ~srt[0].array) == 0)
 
 
+@pytest.mark.slow
 def test_sorted_packed_transfer_full_alphabet():
     """The 2-bit packed upload (+ exception scatter) is bit-exact with the
     raw-byte path for lowercase and non-ACGT bytes."""
