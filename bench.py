@@ -29,12 +29,19 @@ Prints ONE JSON line with {"metric", "value", "unit", "vs_baseline"} plus
 parsed fields: arms{}, locks{}, fill{}, pipeline_rate, recovered.  value is
 the production configuration's polished bases/s/chip.
 
+The artifact is UN-LOSABLE: a provisional JSON line (partial: true) is
+printed after every completed milestone (host arms ~30s in, noisy arm,
+fill A/B, interleaved arms, fill=host pipeline) — the driver keeps the
+last line that parses, so a caller timeout mid-device-phase still leaves
+the host measurements in the round artifact.  The final line supersedes.
+
 Env knobs: GPTPU_BENCH_BASES (default 8M), GPTPU_BENCH_CONTIGS (default 8),
 GPTPU_BENCH_BATCHES (default 4), GPTPU_BENCH_PROCS (default cpu count),
 GPTPU_BENCH_BACKEND (numpy forces host-only), GPTPU_PROFILE (jax profiler
 trace dir), GPTPU_BENCH_DEVICE_DEADLINE (s; device probe watchdog before
-any device arm runs), GPTPU_BENCH_TOTAL_DEADLINE (s; partial-artifact
-watchdog for mid-run service stalls).  Default 4 batches of 2 Mbp: measured best for every arm on
+any device arm runs, default 120), GPTPU_BENCH_TOTAL_DEADLINE (s;
+partial-artifact watchdog for mid-run service stalls, default 900).
+Default 4 batches of 2 Mbp: measured best for every arm on
 this box — a 16x500 Kbp reference-grain variant (fixed 512 KiB filters,
 src/goldpolish_targeted_bfs.cpp:270-272, MXU-probe-eligible) was measured
 WORSE for host (9.1 vs 12.4 Mbp/s; 32 small polish_many calls) and no
@@ -345,31 +352,42 @@ def main():
         print(f"# [{time.time()-t_start:7.1f}s] {msg}", file=sys.stderr,
               flush=True)
 
-    # Total-deadline watchdog: the tunneled chip's service can degrade
-    # MID-RUN (device calls that normally take ~1s stall for tens of
-    # minutes).  If the bench has not printed its JSON line by the
-    # deadline, emit a partial artifact from whatever was measured and
-    # exit — an artifact with "partial": true beats a hung process.
+    # Un-losable artifact (VERDICT r4 #1): a PROVISIONAL JSON line is
+    # printed to stdout at every completed milestone — the driver keeps
+    # whatever parsed last, so even if the caller's timeout kills this
+    # process mid-device-phase, the round artifact carries the host arms
+    # measured so far.  The final full line supersedes all provisionals.
     import threading as _threading
 
     partial: dict = {"printed": False}
 
-    def _watchdog():
-        deadline = float(os.environ.get("GPTPU_BENCH_TOTAL_DEADLINE", 2700))
-        time.sleep(deadline)
-        if partial.get("printed"):
-            return
-        out = {
+    def _partial_line(note: str) -> str:
+        return json.dumps({
             "metric": "polished_bases_per_sec_chip",
             "value": partial.get("value", 0.0),
             "unit": "bases/s/chip",
             "vs_baseline": partial.get("vs_baseline", 0.0),
             "partial": True,
-            "note": f"device service stalled; watchdog fired at {deadline:.0f}s",
+            "note": note,
             **{k: v for k, v in partial.items()
                if k not in ("printed", "value", "vs_baseline")},
-        }
-        print(json.dumps(out), flush=True)
+        })
+
+    def emit_provisional(stage: str):
+        print(_partial_line(f"provisional after: {stage}"), flush=True)
+
+    def _watchdog():
+        # the tunneled chip's service can degrade MID-RUN (device calls
+        # that normally take ~1s stall for tens of minutes); keep the
+        # deadline WELL under the driver's budget (r4: rc=124 at the
+        # caller with the old 2700s default never reached)
+        deadline = float(os.environ.get("GPTPU_BENCH_TOTAL_DEADLINE", 900))
+        time.sleep(deadline)
+        if partial.get("printed"):
+            return
+        print(_partial_line(
+            f"device service stalled; watchdog fired at {deadline:.0f}s"
+        ), flush=True)
         print("# bench watchdog: device service stalled mid-run; partial "
               "artifact emitted", file=sys.stderr, flush=True)
         os._exit(0)
@@ -400,7 +418,7 @@ def main():
             except Exception as e:  # noqa: BLE001
                 q.put(f"error:{e}")
 
-        deadline = float(os.environ.get("GPTPU_BENCH_DEVICE_DEADLINE", 600))
+        deadline = float(os.environ.get("GPTPU_BENCH_DEVICE_DEADLINE", 120))
         q: _queue.Queue = _queue.Queue()
         threading.Thread(
             target=_device_probe, args=(q,), daemon=True
@@ -456,6 +474,27 @@ def main():
     pipeline_rate = None
     host_chain = _chain_fn(host_engines, batches, procs,
                            shard_bases=shard_bases)
+
+    # noisy case (CLAUDE.md rule: unfixable masked clusters dominate REAL
+    # noisy batches — a clean-data-only bench overfits): 1 Mb draft at
+    # ~2% mixed errors against the batch-0 filters, host engines,
+    # min-of-3.  Reported as noisy_rate, not part of the headline.
+    # Measured BEFORE any device phase so a wedged service can't lose it.
+    noisy_truth = batches[0].truths[0][:1_000_000]
+    noisy_draft, _ = _mutate(noisy_truth, err_spacing=50)
+    noisy_eng = host_engines[0]
+    t_noisy = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        cur = [noisy_draft]
+        for eng in noisy_eng:
+            cur = [o for o, _r, _e in eng.polish_many(
+                cur, processes=procs, shard_bases=shard_bases)]
+        t_noisy = min(t_noisy, time.time() - t0)
+    noisy_rate = len(noisy_draft) / t_noisy
+    partial["noisy_rate"] = round(noisy_rate, 1)
+    mark(f"noisy case done ({t_noisy:.2f}s)")
+
     if backend != "numpy":
         # provisional host numbers for the watchdog's partial artifact
         # (the device phases below are where a degraded service stalls);
@@ -476,6 +515,7 @@ def main():
             fill={"host_s": round(fill_host_s, 2)},
         )
         mark("provisional host+baseline passes recorded")
+        emit_provisional("host+baseline 1-rep passes")
         # device fill A/B (first batch bears XLA compiles; time batch 1+)
         dev_fill_ok = True
         try:
@@ -504,6 +544,8 @@ def main():
         fill["placement"] = (
             "device" if dev_fill_ok and fill_device_s < fill_host_s else "host"
         )
+        partial["fill"] = dict(fill)
+        emit_provisional("device fill A/B")
 
         dev_engines = engines_for(batches, backend)
         mark("hybrid engines built")
@@ -541,6 +583,7 @@ def main():
             vs_baseline=round(max(rate_host, rate_dev) / rate_1t, 3),
             arms=dict(arms),
         )
+        emit_provisional("interleaved arm timing")
         arm_spread = {
             name: {"min_s": round(s["min"], 3), "max_s": round(s["max"], 3),
                    "n": s["n"]}
@@ -565,6 +608,9 @@ def main():
         t_pipe_host, _src = _pipeline_stream(batches, procs, "host",
                                              backend, shard_bases)
         mark(f"pipeline stream fill=host done ({t_pipe_host:.2f}s)")
+        partial["fill"] = dict(fill, pipeline_host_s=round(t_pipe_host, 2))
+        partial["pipeline_rate"] = round(total / t_pipe_host, 1)
+        emit_provisional("pipeline stream fill=host")
         t_pipe_overlap, ov_src = _pipeline_stream(batches, procs, "overlap",
                                                   backend, shard_bases)
         mark(f"pipeline stream fill=overlap done ({t_pipe_overlap:.2f}s, "
@@ -587,6 +633,12 @@ def main():
         rate_dev = rate_host
         arms["baseline_1t"] = round(rate_1t, 1)
         arms["host_all"] = round(rate_host, 1)
+        partial.update(
+            value=round(rate_host, 1),
+            vs_baseline=round(rate_host / rate_1t, 3),
+            arms=dict(arms), fill=dict(fill),
+        )
+        emit_provisional("host interleaved arms")
         arm_spread = {
             name: {"min_s": round(s["min"], 3), "max_s": round(s["max"], 3),
                    "n": s["n"]}
@@ -597,24 +649,6 @@ def main():
                                         shard_bases)
         pipeline_rate = total / t_pipe
     outs, chain_stats = chain_out
-
-    # noisy case (CLAUDE.md rule: unfixable masked clusters dominate REAL
-    # noisy batches — a clean-data-only bench overfits): 1 Mb draft at
-    # ~2% mixed errors against the batch-0 filters, host engines,
-    # min-of-3.  Reported as noisy_rate, not part of the headline.
-    noisy_truth = batches[0].truths[0][:1_000_000]
-    noisy_draft, _ = _mutate(noisy_truth, err_spacing=50)
-    noisy_eng = host_engines[0]
-    t_noisy = float("inf")
-    for _ in range(3):
-        t0 = time.time()
-        cur = [noisy_draft]
-        for eng in noisy_eng:
-            cur = [o for o, _r, _e in eng.polish_many(
-                cur, processes=procs, shard_bases=shard_bases)]
-        t_noisy = min(t_noisy, time.time() - t0)
-    noisy_rate = len(noisy_draft) / t_noisy
-    mark(f"noisy case done ({t_noisy:.2f}s)")
 
     headline = rate_dev if scan != "host" else rate_host
 
