@@ -22,11 +22,15 @@ words for the TPU editor).
 
 from __future__ import annotations
 
+import logging
+
 from dataclasses import dataclass
 
 import numpy as np
 
 from .ops import bloom
+
+log = logging.getLogger("goldpolish_tpu.bf_builder")
 
 # reference: src/goldpolish_targeted_bfs.cpp:45-53
 KMER_THRESHOLD_A = 4.66943
@@ -205,16 +209,29 @@ class BFBuilder:
             return BatchBFs(self.k_values, [], bfs)
         from .ops import bloom_sort
 
+        if any(k > bloom_sort.KHALO + 1 for k in self.k_values):
+            raise ValueError(
+                f"device BF build supports k <= {bloom_sort.KHALO + 1};"
+                f" got {self.k_values} — use the host fill for larger k"
+            )
         reads: list[bytes] = []
         thrs: list[int] = []
         for _tid, chosen, kmer_threshold in self._choose_reads(target_ids):
             for rid in chosen:
                 reads.append(self.mapped_index.get_seq(rid))
                 thrs.append(kmer_threshold)
-        bfs = bloom_sort.device_fill_bfs_sorted(
-            reads, thrs, self.k_values, self.hash_num, self.cbf_bytes,
-            bf_bytes,
-        )
+        try:
+            bfs = bloom_sort.device_fill_bfs_sorted(
+                reads, thrs, self.k_values, self.hash_num, self.cbf_bytes,
+                bf_bytes,
+            )
+        except Exception:  # noqa: BLE001 — any device failure: host fill
+            log.warning(
+                "sorted device fill failed for batch of %d targets; "
+                "falling back to the host fill", len(target_ids),
+                exc_info=True,
+            )
+            return self.build_batch(target_ids)
         return BatchBFs(self.k_values, [], bfs)
 
 

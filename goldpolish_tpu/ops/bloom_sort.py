@@ -83,14 +83,6 @@ class PackedReadStream:
         reads = [r for r, _ in keep]
         thrs = [t for _, t in keep]
         total = sum(len(r) for r in reads)
-        # the device's position-tagged threshold fill-forward packs
-        # pos*16 + thr into int32 (_stream_meta); larger streams must
-        # chunk at the caller (build_batch_device falls back to host)
-        if total >= (1 << 27):
-            raise ValueError(
-                f"read stream too large for one device build ({total}"
-                " bases >= 2^27); split the batch or use the host fill"
-            )
         rows = max(1, -(-total // ROW_NW))
         rows_padded = 1 << (rows - 1).bit_length()
         # one extra ROW_NW of padding (not just KHALO) so the device can
@@ -127,16 +119,20 @@ def _stream_meta(offsets, thrs, n_stream: int, k_pad: int):
     cs[p + k - 1] == cs[p] — both pure slices); thr_base int32
     [n_stream + k_pad] threshold of the read owning each base, via a
     position-tagged segmented cummax fill-forward (tag = pos*16 + thr,
-    monotone in pos; thr < 16 guaranteed by PackedReadStream).
+    monotone in pos; thr < 16 guaranteed by PackedReadStream).  Tags are
+    int64 (x64 is on package-wide) so stream length is not capped by the
+    packing — the former 2^27-base bound came from int32 tags.
     """
     n = n_stream + k_pad
     bnd = jnp.zeros(n + 1, jnp.int32).at[offsets].add(1, mode="drop")[:n]
     cs = jnp.cumsum(bnd)
-    ro = offsets[:-1]
-    tags = jnp.zeros(n + 1, jnp.int32).at[ro].max(
-        ro * 16 + thrs.astype(jnp.int32), mode="drop"
+    ro = offsets[:-1].astype(jnp.int64)
+    tags = jnp.zeros(n + 1, jnp.int64).at[offsets[:-1]].max(
+        ro * 16 + thrs.astype(jnp.int64), mode="drop"
     )[:n]
-    thr_base = jax.lax.associative_scan(jnp.maximum, tags) & 15
+    thr_base = (
+        jax.lax.associative_scan(jnp.maximum, tags) & 15
+    ).astype(jnp.int32)
     return cs, thr_base
 
 
@@ -178,14 +174,20 @@ _stream_onehot_packed_jit = jax.jit(_stream_onehot_packed,
 _stream_onehot_raw_jit = jax.jit(_stream_onehot_raw)
 
 
-def _fill_k(oh, cs, thr_base, total, k: int, h: int, thresh_delta: int,
-            cbf_size: int, bits: int, dmax: int):
-    """One k's full build: returns (bf words uint32[bits/32], n_runs).
+def _distinct_runs(oh, cs, thr_base, total, k: int, thresh_delta: int,
+                   dmax: int):
+    """Shared core: hash every window, sort, compact one representative
+    per distinct k-mer.  Returns (hv u64[dmax], cnt i32[dmax],
+    th_r i32[dmax], live bool[dmax], n_runs).
 
     oh: one-hot rows [R, ROW_NW + KHALO, 12] (built once per batch,
     shared by every k).  total: traced scalar — stream length (padding
     windows past it are masked without a shape change).  thresh_delta:
-    the per-k escalation ki - 2 (reference src/utils.cpp:105-107).
+    the per-k escalation ki - 2 (reference src/utils.cpp:105-107);
+    effective thresholds clamp to >= 1 (an occurring k-mer always meets
+    a <= 0 threshold — matching the scatter build's unconditional
+    promote at eff <= 0; an unclamped negative wrapped to ~2^32 via the
+    uint32 sort key and inverted the smallest-threshold-first rule).
     """
     R, Lr = oh.shape[0], oh.shape[1]
     nw = Lr - k + 1
@@ -200,9 +202,10 @@ def _fill_k(oh, cs, thr_base, total, k: int, h: int, thresh_delta: int,
         jnp.arange(R, dtype=jnp.int32)[:, None] * ROW_NW
         + jnp.arange(ROW_NW, dtype=jnp.int32)[None, :]
     )
-    thr_w = (
+    thr_w = jnp.maximum(
         jax.lax.dynamic_slice(thr_base, (0,), (n_stream,)).reshape(R, ROW_NW)
-        + thresh_delta
+        + thresh_delta,
+        1,
     )
     valid = (cs0 == csk) & (pos + k <= total)
     pad_cols = nw - ROW_NW
@@ -236,7 +239,15 @@ def _fill_k(oh, cs, thr_base, total, k: int, h: int, thresh_delta: int,
         jnp.uint64
     )
     live = (th_r < 255) & (cnt > 0)
+    return hv, cnt, th_r, live, n_runs
 
+
+def _fill_k(oh, cs, thr_base, total, k: int, h: int, thresh_delta: int,
+            cbf_size: int, bits: int, dmax: int):
+    """One k's full single-dispatch build: (bf words u32[bits/32], n_runs)."""
+    hv, cnt, th_r, live, n_runs = _distinct_runs(
+        oh, cs, thr_base, total, k, thresh_delta, dmax
+    )
     # CBF-collision emulation at D-scale (superset parity with the host
     # conservative-update counts — see module docstring)
     hs = nthash_jax.multi_hashes(hv, k, h)  # [dmax, h] u64
@@ -254,22 +265,63 @@ def _fill_k(oh, cs, thr_base, total, k: int, h: int, thresh_delta: int,
 _fill_k_jit = jax.jit(_fill_k, static_argnums=(4, 5, 6, 7, 8, 9))
 
 
-def device_fill_bfs_sorted(reads: list[bytes], thrs: list[int],
-                           k_values: list[int], hash_num: int,
-                           cbf_bytes: int, bf_bytes: int):
-    """Full multi-k device build from per-read thresholds.
+def _count_k(oh, cs, thr_base, total, totals, k: int, h: int,
+             thresh_delta: int, cbf_size: int, dmax: int):
+    """Chunked build phase A: accumulate this chunk's occurrence counts
+    into the running per-slot totals and emit the chunk's distinct-k-mer
+    representatives.  Returns (totals', hv u64[dmax], th i32[dmax],
+    n_runs); dead lanes carry hv=~0, th=255.  Functional on totals —
+    a dmax retry simply re-runs against the caller's original array."""
+    hv, cnt, th_r, live, n_runs = _distinct_runs(
+        oh, cs, thr_base, total, k, thresh_delta, dmax
+    )
+    hs = nthash_jax.multi_hashes(hv, k, h)  # [dmax, h] u64
+    slot = (hs % jnp.uint64(cbf_size)).astype(jnp.int32)
+    slot = jnp.where(live[:, None], slot, cbf_size)
+    totals = totals.at[slot.reshape(-1)].add(
+        jnp.repeat(cnt, h), mode="drop"
+    )
+    hv_out = jnp.where(live, hv, jnp.uint64(0xFFFFFFFFFFFFFFFF))
+    th_out = jnp.where(live, th_r, 255)
+    return totals, hv_out, th_out, n_runs
 
-    Returns list[bloom.BloomFilter] (no CBFs — the slot totals live only
-    on device).  Bit-identical to the round-3 scatter build; a documented
-    superset of the host fill (module docstring).
+
+_count_k_jit = jax.jit(_count_k, static_argnums=(5, 6, 7, 8, 9))
+
+
+def _promote_k(hv_all, th_all, totals, k: int, h: int, cbf_size: int,
+               bits: int):
+    """Chunked build phase B: dedupe representatives ACROSS chunks (sort
+    brings duplicates adjacent, smallest threshold first — same rule as
+    the in-chunk sort), then promote each distinct k-mer whose min slot
+    total reaches its global smallest threshold.  Returns bf words."""
+    hi = (hv_all >> jnp.uint64(32)).astype(jnp.uint32)
+    lo = hv_all.astype(jnp.uint32)
+    hi_s, lo_s, th_s = jax.lax.sort(
+        (hi, lo, th_all.astype(jnp.uint32)), num_keys=3
+    )
+    same = (hi_s[1:] == hi_s[:-1]) & (lo_s[1:] == lo_s[:-1])
+    is_start = jnp.concatenate([jnp.ones(1, bool), ~same])
+    live = is_start & (th_s < 255)
+    hv = (hi_s.astype(jnp.uint64) << jnp.uint64(32)) | lo_s.astype(jnp.uint64)
+    hs = nthash_jax.multi_hashes(hv, k, h)
+    slot = (hs % jnp.uint64(cbf_size)).astype(jnp.int32)
+    slot = jnp.where(live[:, None], slot, cbf_size)
+    mins = totals[slot].min(axis=-1)
+    promote = live & (mins >= th_s.astype(jnp.int32))
+    return bloom_jax.build_words(bits, hs, mask=promote)
+
+
+_promote_k_jit = jax.jit(_promote_k, static_argnums=(3, 4, 5, 6))
+
+
+def _stream_arrays(stream: PackedReadStream):
+    """Upload one packed stream and expand its device arrays.
+
+    Returns (oh, cs, thr_base, total).  2-bit packed transfer (4x smaller
+    upload) when the native packer is available and the stream is not
+    exception-dense; raw bytes otherwise.
     """
-    from . import bloom
-
-    if not reads:
-        return [bloom.BloomFilter(bf_bytes, hash_num, k) for k in k_values]
-    stream = PackedReadStream(reads, thrs)
-    # 2-bit packed transfer (4x smaller upload) when the native packer is
-    # available and the stream is not exception-dense; raw bytes otherwise
     oh = None
     try:
         from .. import native
@@ -297,21 +349,125 @@ def device_fill_bfs_sorted(reads: list[bytes], thrs: list[int],
     total = jnp.int32(stream.total)
     k_pad = KHALO + 1
     cs, thr_base = _stream_meta_jit(offsets, thrs_a, stream.n_windows, k_pad)
+    return oh, cs, thr_base, total
 
+
+# default chunk bound for the two-phase build: bounds the sort working set
+# and the one-hot rows (~24 B/base) to a few GB of HBM; override with
+# GPTPU_SORT_CHUNK_BASES
+DEFAULT_CHUNK_BASES = 1 << 26
+
+
+def device_fill_bfs_sorted(reads: list[bytes], thrs: list[int],
+                           k_values: list[int], hash_num: int,
+                           cbf_bytes: int, bf_bytes: int,
+                           chunk_bases: int | None = None):
+    """Full multi-k device build from per-read thresholds.
+
+    Returns list[bloom.BloomFilter] (no CBFs — the slot totals live only
+    on device).  Bit-identical to the round-3 scatter build; a documented
+    superset of the host fill (module docstring).
+
+    Streams larger than chunk_bases run the two-phase chunked build:
+    phase A accumulates per-slot occurrence totals chunk by chunk
+    (_count_k, chunks split at read boundaries so no window spans two),
+    phase B dedupes the chunk representatives and promotes against the
+    GLOBAL totals (_promote_k) — bit-identical to the single-dispatch
+    build (pinned by tests/test_bloom_sort.py), so stream size is
+    unbounded (the former 2^27-base int32-tag cap is gone).
+    """
+    import os as _os
+
+    from . import bloom
+
+    if any(k > KHALO + 1 for k in k_values):
+        raise ValueError(
+            f"sorted device build supports k <= {KHALO + 1}"
+            f" (KHALO + 1); got {k_values}"
+        )
+    if not reads:
+        return [bloom.BloomFilter(bf_bytes, hash_num, k) for k in k_values]
+    if chunk_bases is None:
+        chunk_bases = int(_os.environ.get(
+            "GPTPU_SORT_CHUNK_BASES", DEFAULT_CHUNK_BASES
+        ))
     bits = bf_bytes * 8
+    total_bases = sum(len(r) for r in reads)
+
+    if total_bases <= chunk_bases:
+        stream = PackedReadStream(reads, thrs)
+        oh, cs, thr_base, total = _stream_arrays(stream)
+        bfs = []
+        for ki, k in enumerate(k_values):
+            n = stream.rows * (ROW_NW + KHALO - k + 1)
+            words = None
+            for dmax in (max(1024, n // 4), max(1024, n // 2), n):
+                w, n_runs = _fill_k_jit(
+                    oh, cs, thr_base, total, k, hash_num, ki - 2,
+                    cbf_bytes, bits, dmax,
+                )
+                if int(n_runs) <= dmax:
+                    words = w
+                    break
+            assert words is not None  # dmax == n always fits
+            bf = bloom.BloomFilter(bf_bytes, hash_num, k)
+            bf.array[: bits // 8] = np.asarray(words).view(np.uint8)
+            bfs.append(bf)
+        return bfs
+
+    # ---- chunked two-phase build ----
+    groups: list[tuple[list[bytes], list[int]]] = []
+    cur_r: list[bytes] = []
+    cur_t: list[int] = []
+    cur_n = 0
+    for r, t in zip(reads, thrs):
+        if cur_n and cur_n + len(r) > chunk_bases:
+            groups.append((cur_r, cur_t))
+            cur_r, cur_t, cur_n = [], [], 0
+        cur_r.append(r)
+        cur_t.append(t)
+        cur_n += len(r)
+    if cur_r:
+        groups.append((cur_r, cur_t))
+
+    totals = {k: jnp.zeros(cbf_bytes + 1, jnp.int32) for k in k_values}
+    reps: dict[int, list] = {k: [] for k in k_values}
+    for g_reads, g_thrs in groups:
+        stream = PackedReadStream(g_reads, g_thrs)
+        oh, cs, thr_base, total = _stream_arrays(stream)
+        for ki, k in enumerate(k_values):
+            n = stream.rows * (ROW_NW + KHALO - k + 1)
+            placed = False
+            for dmax in (max(1024, n // 4), max(1024, n // 2), n):
+                t2, hv, th, n_runs = _count_k_jit(
+                    oh, cs, thr_base, total, totals[k], k, hash_num,
+                    ki - 2, cbf_bytes, dmax,
+                )
+                nr = int(n_runs)
+                if nr <= dmax:
+                    totals[k] = t2
+                    # keep only the live prefix, power-of-two padded so
+                    # phase B shapes bucket (runs occupy ids [0, n_runs))
+                    p = min(dmax, 1 << (max(nr, 1) - 1).bit_length())
+                    reps[k].append((hv[:p], th[:p]))
+                    placed = True
+                    break
+            assert placed  # dmax == n always fits
     bfs = []
-    for ki, k in enumerate(k_values):
-        n = stream.rows * (ROW_NW + KHALO - k + 1)
-        words = None
-        for dmax in (max(1024, n // 4), max(1024, n // 2), n):
-            w, n_runs = _fill_k_jit(
-                oh, cs, thr_base, total, k, hash_num, ki - 2,
-                cbf_bytes, bits, dmax,
+    for k in k_values:
+        hv_all = jnp.concatenate([h_ for h_, _ in reps[k]])
+        th_all = jnp.concatenate([t_ for _, t_ in reps[k]])
+        m = hv_all.shape[0]
+        mp = 1 << (m - 1).bit_length()
+        if mp != m:
+            hv_all = jnp.pad(
+                hv_all, (0, mp - m),
+                constant_values=np.uint64(0xFFFFFFFFFFFFFFFF),
             )
-            if int(n_runs) <= dmax:
-                words = w
-                break
-        assert words is not None  # dmax == n always fits
+            th_all = jnp.pad(th_all, (0, mp - m), constant_values=255)
+        words = _promote_k_jit(
+            hv_all, th_all, totals[k], k, hash_num, cbf_bytes, bits
+        )
         bf = bloom.BloomFilter(bf_bytes, hash_num, k)
         bf.array[: bits // 8] = np.asarray(words).view(np.uint8)
         bfs.append(bf)

@@ -340,10 +340,18 @@ def run_bulk(cfg: PipelineConfig) -> dict:
                 bfs = build_batch_bfs(builder, cfg, ids)
                 return bfs, _time2.monotonic() - t0
 
-            def _ensure_fill(pos: int):
+            def _ensure_fill(pos: int, required: bool = False):
                 if not 0 <= pos < len(my_batches):
                     return None
                 b = my_batches[pos]
+                # checkpoint-resumed batches replay from disk — don't
+                # pre-fill their filters (a lookahead/device fill for a
+                # skipped batch is never consumed: wasted work, and its
+                # future would pin filters + count against the device
+                # claim bound forever).  A declined replay re-enters via
+                # the worker with required=True.
+                if not required and manifest and b.index in manifest.done:
+                    return None
                 with fill_lock:
                     fut = fill_futs.get(b.index)
                     if fut is None and b.index not in fill_started:
@@ -378,6 +386,9 @@ def run_bulk(cfg: PipelineConfig) -> dict:
                             todo = [
                                 p for p in range(len(my_batches))
                                 if my_batches[p].index not in fill_started
+                                and not (manifest
+                                         and my_batches[p].index
+                                         in manifest.done)
                             ]
                             # leave the frontmost unfilled batch to the
                             # host so polish never stalls on the chip
@@ -388,9 +399,13 @@ def run_bulk(cfg: PipelineConfig) -> dict:
                             fut = _cf.Future()
                             fill_started.add(b.index)
                             fill_futs[b.index] = fut
-                        ids = [h.split()[0] for h, _ in b.records]
                         t0 = _time2.monotonic()
                         try:
+                            # everything between claim and fill sits inside
+                            # this try: an exception anywhere must land in
+                            # the future (a claimed-but-unresolved future
+                            # blocks its consumer forever)
+                            ids = [h.split()[0] for h, _ in b.records]
                             try:
                                 bfs = builder.build_batch_device(ids)
                             except Exception:  # noqa: BLE001 — host fallback
@@ -410,7 +425,7 @@ def run_bulk(cfg: PipelineConfig) -> dict:
 
             async def worker(batch: engine.Batch):
                 pos = pos_of[batch.index]
-                fut = _ensure_fill(pos)
+                fut = _ensure_fill(pos, required=True)
                 _ensure_fill(pos + 1)  # the lookahead
                 batch_bfs, fill_s = await loop.run_in_executor(
                     None, fut.result

@@ -178,6 +178,90 @@ def test_sorted_randomized_soak():
             assert bytes(a.array) == bytes(b.array), (seed, k)
 
 
+def test_sorted_chunked_equals_single_dispatch():
+    """The two-phase chunked build (stream > chunk_bases: per-chunk count
+    accumulation + cross-chunk dedupe/promote) is bit-identical to the
+    single-dispatch build.  chunk_bases forced tiny so several chunks run;
+    the same code path handles the former 2^27-base cap's regime."""
+    rng = np.random.default_rng(11)
+    truth = np.frombuffer(b"ACGT", np.uint8)[rng.integers(0, 4, 9000)].tobytes()
+    reads = _reads_cov(truth, 5)
+    thrs = [5] * len(reads)
+    ks = [32, 28]
+    single = bloom_sort.device_fill_bfs_sorted(
+        reads, thrs, ks, H, CBF_BYTES, BF_BYTES, chunk_bases=1 << 40
+    )
+    chunked = bloom_sort.device_fill_bfs_sorted(
+        reads, thrs, ks, H, CBF_BYTES, BF_BYTES, chunk_bases=4096
+    )
+    for k, a, b in zip(ks, single, chunked):
+        assert bytes(a.array) == bytes(b.array), k
+        assert a.pop_count > 0
+
+
+@pytest.mark.slow
+def test_sorted_chunked_mixed_thresholds():
+    """Cross-chunk min-threshold rule: a k-mer seen under a low threshold
+    in one chunk and a high threshold in another promotes at the low one
+    — equality with both the single dispatch and the scatter build."""
+    rng = np.random.default_rng(12)
+    truth = np.frombuffer(b"ACGT", np.uint8)[rng.integers(0, 4, 8000)].tobytes()
+    reads_lo = _reads_cov(truth[:5000], 4)
+    reads_hi = _reads_cov(truth[2500:], 8)
+    reads = reads_lo + reads_hi
+    thrs = [4] * len(reads_lo) + [9] * len(reads_hi)
+    ks = [32, 28]
+    single = bloom_sort.device_fill_bfs_sorted(
+        reads, thrs, ks, H, CBF_BYTES, BF_BYTES, chunk_bases=1 << 40
+    )
+    chunked = bloom_sort.device_fill_bfs_sorted(
+        reads, thrs, ks, H, CBF_BYTES, BF_BYTES, chunk_bases=3000
+    )
+    old = bf_builder.device_fill_bfs(
+        {4: reads_lo, 9: reads_hi}, ks, H, CBF_BYTES, BF_BYTES
+    )
+    for k, a, b, c in zip(ks, single, chunked, old):
+        assert bytes(a.array) == bytes(b.array), k
+        assert bytes(a.array) == bytes(c.array), k
+
+
+@pytest.mark.slow
+def test_sorted_low_threshold_clamp():
+    """Per-read thresholds 1..2 push the k32 effective threshold (thr - 2)
+    to <= 0; the scatter build promotes any occurring k-mer there and the
+    sorted build must match (an unclamped negative wrapped to ~2^32 via
+    the uint32 sort key and inverted the min-threshold rule)."""
+    rng = np.random.default_rng(13)
+    truth = np.frombuffer(b"ACGT", np.uint8)[rng.integers(0, 4, 6000)].tobytes()
+    reads = _reads_cov(truth, 3)
+    for thr in (1, 2):
+        srt = bloom_sort.device_fill_bfs_sorted(
+            reads, [thr] * len(reads), [32, 28], H, CBF_BYTES, BF_BYTES
+        )
+        old = bf_builder.device_fill_bfs(
+            {thr: reads}, [32, 28], H, CBF_BYTES, BF_BYTES
+        )
+        for k, a, b in zip([32, 28], srt, old):
+            assert bytes(a.array) == bytes(b.array), (thr, k)
+        assert srt[0].pop_count > 0  # unconditional promote actually fired
+        # mixed with a high threshold: min rule still holds across groups
+        thrs = [thr] * len(reads[:3]) + [9] * len(reads[3:])
+        srt2 = bloom_sort.device_fill_bfs_sorted(
+            reads, thrs, [32], H, CBF_BYTES, BF_BYTES
+        )
+        old2 = bf_builder.device_fill_bfs(
+            {thr: reads[:3], 9: reads[3:]}, [32], H, CBF_BYTES, BF_BYTES
+        )
+        assert bytes(srt2[0].array) == bytes(old2[0].array), thr
+
+
+def test_sorted_rejects_oversize_k():
+    with pytest.raises(ValueError, match="k <= 33"):
+        bloom_sort.device_fill_bfs_sorted(
+            [b"A" * 100], [4], [40], H, CBF_BYTES, BF_BYTES
+        )
+
+
 @pytest.mark.slow
 def test_sorted_edge_cases():
     # reads shorter than k contribute nothing; empty list yields empty BFs
