@@ -265,12 +265,91 @@ def load_ntedit_bf(path: str) -> BloomFilter:
     return bf
 
 
+# --- btllib KmerBloomFilter container (best-effort interop) ------------------
+# The reference's per-batch .bf artifacts are btllib::KmerBloomFilter files:
+# written by the BF-builder server (reference: src/goldpolish_targeted_bfs.cpp
+# :139 `bfs[i]->save(...)`) and loaded by ntedit-gr, which reads k and
+# hash_num back from the header (reference: subprojects/ntedit/ntedit.cpp
+# :2012-2022).  btllib's container is a cpptoml-serialized header —
+# `[BTLKmerBloomFilter_v6]` section with bytes/hash_num/k keys (cpptoml
+# tables are std::map, so keys emit in alphabetical order), terminated by
+# `[HeaderEnd]\n` — followed by the raw filter byte array.  btllib's bit
+# layout is LSB-first within each byte (BIT_MASKS = 1<<0..1<<7) and probes
+# index `hash % (bytes*8)`, both identical to this package's BloomFilter,
+# so the payload copies byte-for-byte with no bit reversal.
+#
+# CAVEAT (documented, PARITY.md): btllib is absent from this environment and
+# the reference tree does not vendor it, so this writer/reader is
+# best-effort from the btllib v1.x container spec and is pinned only by
+# round-trip self-tests here — a byte-level diff against a real
+# btllib-produced file is unverifiable offline.  The reader is tolerant
+# (any [BTL*BloomFilter_v*] signature, indentation- and order-insensitive
+# key=value pairs); the writer emits the cpptoml layout (4-space-indented
+# keys, alphabetical).
+_BTLLIB_KBF_SIGNATURE = "[BTLKmerBloomFilter_v6]"
+_BTLLIB_HEADER_END = b"[HeaderEnd]"
+
+
+def save_btllib_bf(bf: BloomFilter, path: str) -> None:
+    """Write in the btllib KmerBloomFilter v6 container (best-effort)."""
+    lines = [_BTLLIB_KBF_SIGNATURE]
+    for key, val in (("bytes", bf.bytes), ("hash_num", bf.hash_num),
+                     ("k", bf.k)):
+        lines.append(f"    {key} = {val}")
+    lines.append("[HeaderEnd]")
+    with open(path, "wb") as f:
+        f.write(("\n".join(lines) + "\n").encode())
+        f.write(bf.array.tobytes())
+
+
+def load_btllib_bf(path: str) -> BloomFilter:
+    """Read a btllib *BloomFilter container into this package's layout."""
+    fields: dict[str, int] = {}
+    with open(path, "rb") as f:
+        saw_end = False
+        while True:
+            line = f.readline()
+            if not line:
+                break
+            s = line.strip()
+            if s == _BTLLIB_HEADER_END:
+                saw_end = True
+                break
+            if s.startswith(b"[") or b"=" not in s:
+                continue
+            key, _, val = s.partition(b"=")
+            try:
+                fields[key.strip().decode()] = int(val.strip())
+            except ValueError:
+                continue  # non-integer metadata: ignore
+        if not saw_end:
+            raise ValueError(f"{path}: no {_BTLLIB_HEADER_END.decode()}"
+                             " terminator — not a btllib Bloom filter file")
+        if "bytes" not in fields or "hash_num" not in fields:
+            raise ValueError(
+                f"{path}: btllib header missing bytes/hash_num fields"
+            )
+        bf = BloomFilter(fields["bytes"], fields["hash_num"],
+                         fields.get("k", 0))
+        data = f.read(bf.bytes)
+    if len(data) != bf.bytes:
+        raise ValueError(
+            f"{path}: truncated filter payload ({len(data)} of {bf.bytes}"
+            " bytes)"
+        )
+    bf.array = np.frombuffer(data, dtype=np.uint8).copy()
+    return bf
+
+
 def load_any(path: str) -> BloomFilter:
-    """Load a filter in either supported on-disk format (by magic)."""
+    """Load a filter in any supported on-disk format (by magic)."""
     if not os.path.exists(path):
         raise FileNotFoundError(path)
     with open(path, "rb") as f:
-        head = f.read(8)
-    if head == _NTEDIT_MAGIC:
+        head = f.read(64)
+    if head.startswith(_NTEDIT_MAGIC):
         return load_ntedit_bf(path)
+    first = head.split(b"\n", 1)[0].strip()
+    if (first.startswith(b"[BTL") and b"BloomFilter" in first):
+        return load_btllib_bf(path)
     return BloomFilter.load(path)

@@ -206,3 +206,46 @@ def test_ntedit_bf_format_roundtrip(tmp_path):
     assert np.array_equal(back.array, bf.array)
     assert (back.hash_num, back.k) == (3, 24)
     assert np.array_equal(back.contains(hashes), bf.contains(hashes))
+
+
+def test_btllib_bf_container_roundtrip(tmp_path):
+    """btllib KmerBloomFilter v6 container (best-effort; reference writes
+    these at src/goldpolish_targeted_bfs.cpp:139 and ntedit-gr reads k/h
+    back at ntedit.cpp:2012-2022).  Round-trip + pinned header layout;
+    byte-diff vs a real btllib file is unverifiable offline (PARITY.md)."""
+    rng = np.random.default_rng(10)
+    bf = bloom.BloomFilter(1 << 12, 4, 32)
+    hashes = rng.integers(0, 1 << 63, (500, 4), dtype=np.uint64)
+    bf.insert(hashes)
+    p = str(tmp_path / "k32.bf")
+    bloom.save_btllib_bf(bf, p)
+    raw = open(p, "rb").read()
+    header, _, payload = raw.partition(b"[HeaderEnd]\n")
+    assert header.startswith(b"[BTLKmerBloomFilter_v6]\n")
+    # cpptoml layout: alphabetical keys, LSB-first payload (no bit swap)
+    assert (b"bytes = 4096" in header and b"hash_num = 4" in header
+            and b"k = 32" in header)
+    assert payload == bf.array.tobytes()
+    back = bloom.load_any(p)
+    assert np.array_equal(back.array, bf.array)
+    assert (back.hash_num, back.k) == (4, 32)
+    assert np.array_equal(back.contains(hashes), bf.contains(hashes))
+    # tolerant reader: unindented keys, reordered, other signature version
+    q = str(tmp_path / "alt.bf")
+    with open(q, "wb") as f:
+        f.write(b"[BTLBloomFilter_v5]\nk = 32\nbytes = 4096\n"
+                b"hash_num = 4\n[HeaderEnd]\n")
+        f.write(bf.array.tobytes())
+    alt = bloom.load_any(q)
+    assert np.array_equal(alt.array, bf.array)
+    # truncated payload and missing terminator are hard errors
+    t = str(tmp_path / "trunc.bf")
+    with open(t, "wb") as f:
+        f.write(open(p, "rb").read()[:-100])
+    with pytest.raises(ValueError, match="truncated"):
+        bloom.load_any(t)
+    n = str(tmp_path / "noend.bf")
+    with open(n, "wb") as f:
+        f.write(b"[BTLKmerBloomFilter_v6]\nbytes = 4096\n")
+    with pytest.raises(ValueError, match="HeaderEnd"):
+        bloom.load_btllib_bf(n)
