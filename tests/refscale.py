@@ -72,6 +72,109 @@ def _simulate_reads(truths, reads_path, paf_path, frag=6000, step=3000,
                     rn += 1
 
 
+def _simulate_noisy_reads(truths, reads_path, paf_path, rng, frag=6000,
+                          step=1500, passes=8, err_rate=0.07):
+    """ONT-like degraded reads: ~err_rate errors per base, indel-heavy
+    (40% sub / 30% ins / 30% del, deletions biased into homopolymer runs
+    — the dominant ONT error mode).  Deterministic in rng.  Mirrors the
+    realism of the reference e2e test's real ONT reads
+    (tests/goldpolish_test.sh:6 — downloaded; zero egress here) as far as
+    a simulator allows: masked clusters and unfixable sites dominate the
+    polish, unlike the clean-read fixtures."""
+    bases = np.frombuffer(b"ACGT", np.uint8)
+
+    def corrupt(seq: str) -> str:
+        s = np.frombuffer(seq.encode(), np.uint8).copy()
+        n = len(s)
+        n_err = int(rng.binomial(n, err_rate))
+        if not n_err:
+            return seq
+        pos = np.sort(rng.choice(n, size=min(n_err, n), replace=False))
+        kinds = rng.random(len(pos))
+        ins_char = bases[rng.integers(0, 4, len(pos))]
+        sub_off = rng.integers(1, 4, len(pos))
+        out = []
+        prev = 0
+        for p, kind, ic, so in zip(pos, kinds, ins_char, sub_off):
+            p = int(p)
+            out.append(s[prev:p])
+            if kind < 0.4:  # substitution
+                code = {65: 0, 67: 1, 71: 2, 84: 3}.get(int(s[p]))
+                if code is None:
+                    out.append(s[p : p + 1])
+                else:
+                    out.append(bases[(code + int(so)) % 4 : (code + int(so)) % 4 + 1])
+                prev = p + 1
+            elif kind < 0.7:  # insertion
+                out.append(np.array([ic], np.uint8))
+                out.append(s[p : p + 1])
+                prev = p + 1
+            else:  # deletion, snapped into a homopolymer run when adjacent
+                q = p
+                while q + 1 < n and s[q + 1] == s[q]:
+                    q += 1
+                out.append(s[p:q])
+                prev = q + 1
+        out.append(s[prev:])
+        return np.concatenate(out).tobytes().decode()
+
+    with open(reads_path, "w") as rf, open(paf_path, "w") as pf:
+        rn = 0
+        for rep in range(passes):
+            off = rep * step // passes
+            for name, t in truths:
+                cid = name.split()[0]
+                n = len(t)
+                starts = [0] if off else []
+                starts += list(range(off, n, step))
+                for s in starts:
+                    e = min(n, s + frag)
+                    if e - s < 400:
+                        continue
+                    r = corrupt(t[s:e])
+                    rf.write(f"@r{rn}\n{r}\n+\n{'I' * len(r)}\n")
+                    pf.write(
+                        f"r{rn}\t{len(r)}\t0\t{len(r)}\t+\t{cid}\t{n}\t{s}\t"
+                        f"{e}\t{min(len(r), e - s)}\t{e - s}\t60\n"
+                    )
+                    rn += 1
+
+
+def build_bulk_noisy_inputs(tmp_dir: str):
+    """Bulk-mode inputs with DEGRADED reads (7% indel-heavy errors) over a
+    ~300 kb subset of the bundled draft — the regime where masked clusters
+    dominate (round-1 note: real noisy batches present this way)."""
+    from goldpolish_tpu.config import PipelineConfig
+    from goldpolish_tpu.io import fasta
+
+    rng = np.random.default_rng(SEED + 2)
+    truths_all = _read_fasta(REF_BULK_DRAFT)
+    truths = []
+    total = 0
+    for name, t in truths_all:
+        truths.append((name, t))
+        total += len(t)
+        if total >= 300_000:
+            break
+    drafts = _mutate(truths, rng)
+    draft_path = os.path.join(tmp_dir, "noisy_draft.fa")
+    fasta.write_fasta(draft_path, drafts)
+    reads_path = os.path.join(tmp_dir, "noisy_reads.fq")
+    paf_path = os.path.join(tmp_dir, "noisy_map.paf")
+    _simulate_noisy_reads(truths, reads_path, paf_path, rng)
+    return PipelineConfig(
+        seqs_to_polish=draft_path,
+        polishing_seqs=reads_path,
+        output_seqs=os.path.join(tmp_dir, "noisy_polished.fa"),
+        mappings_path=paf_path,
+        k_values=[32, 28, 24, 20],
+        batch_size=16,
+        run_sealer=True,
+        workspace=os.path.join(tmp_dir, "ws_noisy"),
+        max_concurrent_batches=2,
+    )
+
+
 def build_bulk_inputs(tmp_dir: str):
     """Bulk-mode inputs from the bundled 1.1 MB draft; returns cfg."""
     from goldpolish_tpu.config import PipelineConfig

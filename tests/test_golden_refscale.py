@@ -38,6 +38,27 @@ def test_bulk_refscale_golden(tmp_path):
 
 
 @pytest.mark.skipif(
+    not os.path.exists(refscale.REF_BULK_DRAFT), reason="reference data absent"
+)
+@pytest.mark.slow
+def test_bulk_refscale_noisy_golden(tmp_path):
+    """Degraded-read regime (7% indel-heavy errors — ONT-like): masked
+    clusters dominate and most sites are unfixable; the byte-exact pin
+    covers the pipeline's behavior closest to production noise (the
+    reference's own e2e test uses real ONT reads, goldpolish_test.sh:6)."""
+    cfg = refscale.build_bulk_noisy_inputs(str(tmp_path))
+    totals = bulk.run_bulk(cfg)
+    assert totals["contigs"] > 0
+    got = open(cfg.output_seqs, "rb").read()
+    want = gzip.open(
+        os.path.join(GOLDEN, "refscale_noisy_expected.fa.gz"), "rb"
+    ).read()
+    assert got == want, (
+        f"noisy bulk output diverged from golden ({len(got)} vs {len(want)})"
+    )
+
+
+@pytest.mark.skipif(
     not os.path.exists(refscale.REF_TARGET_DRAFT),
     reason="reference data absent",
 )

@@ -48,6 +48,16 @@ def main():
         print(f"bulk golden: {len(data)} bytes in {time.time()-t0:.1f}s")
 
         t0 = time.time()
+        ncfg = refscale.build_bulk_noisy_inputs(tmp)
+        bulk.run_bulk(ncfg)
+        data = open(ncfg.output_seqs, "rb").read()
+        with open(
+            os.path.join(GOLDEN_DIR, "refscale_noisy_expected.fa.gz"), "wb"
+        ) as raw, gzip.GzipFile(fileobj=raw, mode="wb", mtime=0) as f:
+            f.write(data)
+        print(f"noisy golden: {len(data)} bytes in {time.time()-t0:.1f}s")
+
+        t0 = time.time()
         tcfg = refscale.build_targeted_inputs(tmp)
         targeted.run_targeted(tcfg)
         data = open(tcfg.output_seqs, "rb").read()
