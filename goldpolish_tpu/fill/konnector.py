@@ -44,6 +44,9 @@ NO_LIMIT = 0xFFFFFFFF
 
 _COMP = str.maketrans("ACGTacgt", "TGCAtgca")
 
+_ACGT_TAB = np.zeros(256, bool)
+_ACGT_TAB[np.frombuffer(b"ACGT", np.uint8)] = True
+
 
 def revcomp(s: str) -> str:
     return s.translate(_COMP)[::-1]
@@ -88,15 +91,30 @@ class DBG:
         return self.bf.contains_one(nt.multi_hashes(np.uint64(hv), self.k, self.h))
 
     def window_probes(self, seq: str) -> tuple[np.ndarray, np.ndarray]:
-        """(present[], acgt_valid[]) for every k-window of seq."""
+        """(present[], acgt_valid[]) for every k-window of seq.
+
+        Consumers read present[] only at valid (all-ACGT) windows
+        (get_start_kmer_pos, correct_single_base_error), where the native
+        rolling hasher and the numpy batch hasher agree bit-for-bit
+        (tests/test_nthash.py) — so the native path is decision-equivalent
+        and ~50x cheaper on the short flanks the anchor search hashes
+        (the numpy scalar-u64 fixed overhead dominated the noisy-case
+        sealer profile, docs/ROUND5.md)."""
         codes = np.frombuffer(seq.encode(), np.uint8)
         n = len(codes)
         k = self.k
         if n < k:
             return np.zeros(0, bool), np.zeros(0, bool)
-        base = nt.canonical_hashes(codes, k)
-        present = self.bf.contains(nt.multi_hashes(base, k, self.h))
-        is_acgt = np.isin(codes, np.frombuffer(b"ACGT", np.uint8))
+        try:
+            from .. import native
+
+            present = native.bf_contains(
+                self.bf, native.nthash_all(codes, k, self.h)
+            )
+        except Exception:  # noqa: BLE001 — no native lib: numpy path
+            base = nt.canonical_hashes(codes, k)
+            present = self.bf.contains(nt.multi_hashes(base, k, self.h))
+        is_acgt = _ACGT_TAB[codes]
         c = np.concatenate(([0], np.cumsum(~is_acgt)))
         valid = (c[k:] - c[:-k]) == 0
         return present, valid
