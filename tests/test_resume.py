@@ -191,3 +191,40 @@ def _cfg2(tmp_path, draft, reads, paf, out, ckpt=None):
         workspace=str(tmp_path / "ws2"), checkpoint=ckpt,
         max_concurrent_batches=2,
     )
+
+
+def test_resume_lookahead_never_prefills_done_batches(tmp_path, monkeypatch):
+    """A checkpoint-done batch replays from disk; neither the on-demand
+    fill nor the lookahead may build its filters (the pre-fix lookahead
+    filled batch N+1 even when N+1 was recorded done — wasted work whose
+    unconsumed future pinned filters and, on the device claimer, parked
+    the fill thread; review r4)."""
+    draft, reads, paf = _scenario(tmp_path)
+    bulk.run_bulk(_cfg(tmp_path, draft, reads, paf, "ref.fa"))
+    ref = open(tmp_path / "ref.fa").read()
+
+    ckpt = str(tmp_path / "ckpt.jsonl")
+    ckpt_dir = ckpt + ".batches"
+    os.makedirs(ckpt_dir)
+    with open(ckpt, "w") as f:
+        f.write(json.dumps({"batch": 1}) + "\n")
+    sentinel = [("ctg2 SENTINEL", "ACGT" * 8), ("ctg3 SENTINEL", "TTTT" * 8)]
+    dist.write_batch_output(os.path.join(ckpt_dir, "out"), 1, sentinel)
+
+    fills: list = []
+    orig = bulk.build_batch_bfs
+
+    def counting(builder, cfg, ids):
+        fills.append(tuple(ids))
+        return orig(builder, cfg, ids)
+
+    monkeypatch.setattr(bulk, "build_batch_bfs", counting)
+    stats = bulk.run_bulk(_cfg(tmp_path, draft, reads, paf, "res.fa", ckpt))
+    res = open(tmp_path / "res.fa").read()
+    assert stats["resumed_batches"] == 1
+    assert ">ctg2 SENTINEL\n" in res  # replayed, not re-polished
+    # exactly the two live batches filled — batch 1 never pre-filled
+    assert sorted(fills) == [("ctg0", "ctg1"), ("ctg4", "ctg5")]
+    # live batches byte-identical to the reference run
+    assert res.split(">ctg2")[0] == ref.split(">ctg2")[0]
+    assert res.split(">ctg4")[1] == ref.split(">ctg4")[1]
