@@ -516,36 +516,6 @@ def main():
         )
         mark("provisional host+baseline passes recorded")
         emit_provisional("host+baseline 1-rep passes")
-        # device fill A/B (first batch bears XLA compiles; time batch 1+)
-        dev_fill_ok = True
-        try:
-            t_first = batches[0].fill_device()
-            dev_bits_super = all(
-                int(np.bitwise_and(
-                    hw, ~np.frombuffer(bf.array, np.uint8)
-                ).sum()) == 0
-                for hw, bf in zip(host_bf_words, batches[0].bfs)
-            )
-            # steady-state sample on a few batches (the first bears XLA
-            # compiles); extrapolate to the full batch count
-            fill_dev = [b.fill_device() for b in batches[1:4]] or [t_first]
-            fill_device_s = sum(fill_dev) * len(batches) / max(len(fill_dev), 1)
-            fill["device_s"] = round(fill_device_s, 2)
-            fill["device_first_s"] = round(t_first, 2)
-            fill["device_superset_of_host"] = bool(dev_bits_super)
-        except Exception as e:  # noqa: BLE001
-            dev_fill_ok = False
-            fill["device_error"] = str(e)[:120]
-            fill_device_s = float("inf")
-        # restore the host-filled filters: arms A/B the SCAN, not the fill
-        for b in batches[:4]:  # the A/B touched at most batches 0-3
-            b.fill_host()
-        mark("device fill A/B done")
-        fill["placement"] = (
-            "device" if dev_fill_ok and fill_device_s < fill_host_s else "host"
-        )
-        partial["fill"] = dict(fill)
-        emit_provisional("device fill A/B")
 
         dev_engines = engines_for(batches, backend)
         mark("hybrid engines built")
@@ -601,6 +571,40 @@ def main():
         scan = "device" if any(v == "device" for v in locks.values()) else "host"
         scan_detail = ",".join(f"{k_}={v}" for k_, v in sorted(locks.items()))
         chain_out = outs_map["adaptive" if rate_dev >= rate_host else "host"]
+
+        # device fill A/B — AFTER the scan arms on purpose: a cold-compile
+        # or service stall here must not cost the artifact its arm
+        # measurements (r5: the fill kernels are the newest and the most
+        # likely to be uncached).  First batch bears XLA compiles; steady
+        # state timed on batches 1+.
+        dev_fill_ok = True
+        try:
+            t_first = batches[0].fill_device()
+            dev_bits_super = all(
+                int(np.bitwise_and(
+                    hw, ~np.frombuffer(bf.array, np.uint8)
+                ).sum()) == 0
+                for hw, bf in zip(host_bf_words, batches[0].bfs)
+            )
+            fill_dev = [b.fill_device() for b in batches[1:4]] or [t_first]
+            fill_device_s = sum(fill_dev) * len(batches) / max(len(fill_dev), 1)
+            fill["device_s"] = round(fill_device_s, 2)
+            fill["device_first_s"] = round(t_first, 2)
+            fill["device_superset_of_host"] = bool(dev_bits_super)
+        except Exception as e:  # noqa: BLE001
+            dev_fill_ok = False
+            fill["device_error"] = str(e)[:120]
+            fill_device_s = float("inf")
+        # restore the host-filled filters: the pipeline streams re-fill per
+        # batch themselves, but batch 0-3's arrays now hold device bits
+        for b in batches[:4]:  # the A/B touched at most batches 0-3
+            b.fill_host()
+        mark("device fill A/B done")
+        fill["placement"] = (
+            "device" if dev_fill_ok and fill_device_s < fill_host_s else "host"
+        )
+        partial["fill"] = dict(fill)
+        emit_provisional("device fill A/B")
 
         # production-shaped pipeline streams: host-lookahead fills vs the
         # overlapped arm (device claims fill batches from the tail while
