@@ -3,9 +3,14 @@ minus the FIFO server plumbing, src/goldpolish_targeted_bfs.cpp:55-146):
 fill per-k counting+plain BF pairs from reads and save them.
 
     python -m goldpolish_tpu.tools.bf reads.fq -k32 -k28 -o prefix \
-        [--threshold N | --auto-threshold] [--bf-bytes N] [--hash-num H]
+        [--threshold N | --auto-threshold] [--bf-bytes N] [--hash-num H] \
+        [--format gptpu|btllib|ntedit]
 
-Writes `<prefix>-k<K>.bf` (GPTPU_BF1 format) per k.
+Writes `<prefix>-k<K>.bf` per k.  --format picks the container: gptpu
+(native, default), btllib (the KmerBloomFilter container the reference's
+binaries read/write — best-effort, ops/bloom.save_btllib_bf), or ntedit
+(the vendored "BlOOMFXX" layout).  All three load back via
+ops/bloom.load_any and the ntedit/sealer standalone tools.
 """
 
 from __future__ import annotations
@@ -34,6 +39,10 @@ def main(argv=None):
                         "bits/base; reference fixed 512 KiB)")
     p.add_argument("--cbf-bytes", type=int, default=10 * 1024 * 1024)
     p.add_argument("--hash-num", type=int, default=4)
+    p.add_argument("--format", choices=("gptpu", "btllib", "ntedit"),
+                   default="gptpu",
+                   help="on-disk container (btllib = the reference's "
+                        "KmerBloomFilter files, best-effort)")
     args = p.parse_args(argv)
     k_values = args.k or [32, 28, 24, 20]
 
@@ -56,10 +65,16 @@ def main(argv=None):
         fill = bloom.fill_bfs
     for s in seqs:
         fill(np.frombuffer(s, np.uint8), args.hash_num, k_values, thr, cbfs, bfs)
+    save = {
+        "gptpu": lambda bf, path: bf.save(path),
+        "btllib": bloom.save_btllib_bf,
+        "ntedit": bloom.save_ntedit_bf,
+    }[args.format]
     for k, bf in zip(k_values, bfs):
         path = f"{args.out_prefix}-k{k}.bf"
-        bf.save(path)
-        print(f"{path}\tk={k}\tbytes={bf.bytes}\tthreshold={thr}")
+        save(bf, path)
+        print(f"{path}\tk={k}\tbytes={bf.bytes}\tthreshold={thr}"
+              f"\tformat={args.format}")
 
 
 if __name__ == "__main__":

@@ -135,3 +135,26 @@ def test_ntedit_tool_secbf_short_contig_untouched(tmp_path):
     ntedit_tool.main([draft, bf_path, out, "--secbf", sec_path, "-m1", "-a1"])
     got = list(fasta.read_seqs(out))
     assert got[0].seq == mutated_short  # below min_contig_len: untouched
+
+
+def test_bf_tool_btllib_format_chain(tmp_path):
+    """--format btllib writes the reference's KmerBloomFilter container and
+    the ntedit tool consumes it via load_any — the drop-in artifact path
+    (reference: bfs saved at goldpolish_targeted_bfs.cpp:139, loaded by
+    ntedit-gr at ntedit.cpp:2012-2022).  Bits must equal the gptpu-format
+    build's."""
+    truth, reads, draft, _g = _fixture(tmp_path)
+    from goldpolish_tpu.ops import bloom
+
+    p1 = str(tmp_path / "a")
+    p2 = str(tmp_path / "b")
+    bf_tool.main([reads, "-k32", "-o", p1])
+    bf_tool.main([reads, "-k32", "-o", p2, "--format", "btllib"])
+    a = bloom.load_any(f"{p1}-k32.bf")
+    b = bloom.load_any(f"{p2}-k32.bf")
+    assert (b.hash_num, b.k) == (a.hash_num, a.k)
+    assert bytes(b.array) == bytes(a.array)
+    polished = str(tmp_path / "pol.fa")
+    ntedit_tool.main([draft, f"{p2}-k32.bf", polished])
+    out = next(iter(fasta.read_seqs(polished))).seq
+    assert out.upper() == truth
