@@ -39,8 +39,9 @@ Env knobs: GPTPU_BENCH_BASES (default 8M), GPTPU_BENCH_CONTIGS (default 8),
 GPTPU_BENCH_BATCHES (default 4), GPTPU_BENCH_PROCS (default cpu count),
 GPTPU_BENCH_BACKEND (numpy forces host-only), GPTPU_PROFILE (jax profiler
 trace dir), GPTPU_BENCH_DEVICE_DEADLINE (s; device probe watchdog before
-any device arm runs, default 120), GPTPU_BENCH_TOTAL_DEADLINE (s;
-partial-artifact watchdog for mid-run service stalls, default 900).
+any device arm runs, default 330 — covers grant acquisition),
+GPTPU_BENCH_TOTAL_DEADLINE (s; partial-artifact watchdog for mid-run
+service stalls, default 1200).
 Default 4 batches of 2 Mbp: measured best for every arm on
 this box — a 16x500 Kbp reference-grain variant (fixed 512 KiB filters,
 src/goldpolish_targeted_bfs.cpp:270-272, MXU-probe-eligible) was measured
@@ -379,9 +380,11 @@ def main():
     def _watchdog():
         # the tunneled chip's service can degrade MID-RUN (device calls
         # that normally take ~1s stall for tens of minutes); keep the
-        # deadline WELL under the driver's budget (r4: rc=124 at the
-        # caller with the old 2700s default never reached)
-        deadline = float(os.environ.get("GPTPU_BENCH_TOTAL_DEADLINE", 900))
+        # deadline WELL under the old 2700s (r4: the caller's rc=124
+        # fired first) but above a healthy cold-cache run (~300s) plus a
+        # worst-case grant wait (~5 min, CLAUDE.md) — milestone
+        # provisional lines cover the window either way
+        deadline = float(os.environ.get("GPTPU_BENCH_TOTAL_DEADLINE", 1200))
         time.sleep(deadline)
         if partial.get("printed"):
             return
@@ -418,7 +421,10 @@ def main():
             except Exception as e:  # noqa: BLE001
                 q.put(f"error:{e}")
 
-        deadline = float(os.environ.get("GPTPU_BENCH_DEVICE_DEADLINE", 120))
+        # must cover grant acquisition after an unclean previous holder
+        # (up to ~5 min, CLAUDE.md) — a shorter deadline misclassifies a
+        # healthy chip as wedged and ships a host-only artifact
+        deadline = float(os.environ.get("GPTPU_BENCH_DEVICE_DEADLINE", 330))
         q: _queue.Queue = _queue.Queue()
         threading.Thread(
             target=_device_probe, args=(q,), daemon=True
@@ -494,6 +500,7 @@ def main():
     noisy_rate = len(noisy_draft) / t_noisy
     partial["noisy_rate"] = round(noisy_rate, 1)
     mark(f"noisy case done ({t_noisy:.2f}s)")
+    emit_provisional("noisy arm")
 
     if backend != "numpy":
         # provisional host numbers for the watchdog's partial artifact

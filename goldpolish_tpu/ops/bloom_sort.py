@@ -387,6 +387,15 @@ def device_fill_bfs_sorted(reads: list[bytes], thrs: list[int],
         )
     if not reads:
         return [bloom.BloomFilter(bf_bytes, hash_num, k) for k in k_values]
+    # per-slot occurrence totals are int32; a stream this large could in
+    # principle alias > 2^31 occurrences into one slot and wrap it
+    # negative, silently DEMOTING a frequent k-mer (breaking the
+    # superset-of-host contract).  Explicit error beats silent blindness.
+    if sum(len(r) for r in reads) >= (1 << 31):
+        raise ValueError(
+            "read stream >= 2^31 bases: int32 slot totals could overflow;"
+            " split the batch"
+        )
     if chunk_bases is None:
         chunk_bases = int(_os.environ.get(
             "GPTPU_SORT_CHUNK_BASES", DEFAULT_CHUNK_BASES

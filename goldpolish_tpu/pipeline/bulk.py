@@ -247,6 +247,17 @@ def run_bulk(cfg: PipelineConfig) -> dict:
     """
     import time as _time
 
+    # static config error, not a per-batch condition: fail at startup with
+    # a clear message instead of per-batch fallback-warning spam (the
+    # device build packs k-mers against a KHALO-base row halo)
+    if (cfg.device_bf_build or cfg.fill_overlap) and any(
+        k > 33 for k in cfg.k_values
+    ):
+        raise ValueError(
+            f"device BF build supports k <= 33; got {cfg.k_values} — "
+            "disable device_bf_build/fill_overlap or drop the larger k"
+        )
+
     t_start = _time.monotonic()
     ws = engine.Workspace(
         prefix=f"goldpolish-tpu-{os.getpid()}",
@@ -423,10 +434,20 @@ def run_bulk(cfg: PipelineConfig) -> dict:
                     target=_dev_fill_loop, name="bf-fill-dev", daemon=True
                 ).start()
 
+            def _next_live(pos: int) -> int:
+                """First position > pos not recorded done — the lookahead
+                must hop OVER resumed batches, not stop at them (a None
+                there would serialize the next live batch's fill)."""
+                q = pos + 1
+                while (q < len(my_batches) and manifest
+                       and my_batches[q].index in manifest.done):
+                    q += 1
+                return q
+
             async def worker(batch: engine.Batch):
                 pos = pos_of[batch.index]
                 fut = _ensure_fill(pos, required=True)
-                _ensure_fill(pos + 1)  # the lookahead
+                _ensure_fill(_next_live(pos))  # the lookahead
                 batch_bfs, fill_s = await loop.run_in_executor(
                     None, fut.result
                 )

@@ -97,6 +97,10 @@ def _simulate_noisy_reads(truths, reads_path, paf_path, rng, frag=6000,
         prev = 0
         for p, kind, ic, so in zip(pos, kinds, ins_char, sub_off):
             p = int(p)
+            if p < prev:
+                # consumed by a previous deletion's homopolymer snap —
+                # processing it would re-emit already-written bases
+                continue
             out.append(s[prev:p])
             if kind < 0.4:  # substitution
                 code = {65: 0, 67: 1, 71: 2, 84: 3}.get(int(s[p]))
