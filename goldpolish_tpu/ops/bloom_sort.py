@@ -352,10 +352,15 @@ def _stream_arrays(stream: PackedReadStream):
     return oh, cs, thr_base, total
 
 
-# default chunk bound for the two-phase build: bounds the sort working set
-# and the one-hot rows (~24 B/base) to a few GB of HBM; override with
-# GPTPU_SORT_CHUNK_BASES
-DEFAULT_CHUNK_BASES = 1 << 26
+# default chunk bound for the two-phase build.  2^21 bases/chunk keeps
+# every program in the rows=128 shape bucket — measured to compile in
+# minutes even on a degraded axon service, where the rows>=512 buckets'
+# compiles never returned (docs/ROUND5.md service timeline); it also
+# bounds the sort working set + one-hot rows (~24 B/base) far below HBM.
+# Raise via GPTPU_SORT_CHUNK_BASES on co-located chips (the single
+# dispatch avoids the two-phase overhead once compiles are cheap);
+# results are bit-identical at any chunking.
+DEFAULT_CHUNK_BASES = 1 << 21
 
 
 def device_fill_bfs_sorted(reads: list[bytes], thrs: list[int],
