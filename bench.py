@@ -286,6 +286,7 @@ def _pipeline_stream(batches, procs, fill: str, backend: str,
     state = ["un"] * n  # un | host | dev
     done = [threading.Event() for _ in range(n)]
     lock = threading.Lock()
+    hedged = [0]
 
     def claim(i, who) -> bool:
         with lock:
@@ -297,6 +298,23 @@ def _pipeline_stream(batches, procs, fill: str, backend: str,
     def host_fill(i):
         batches[i].fill_host()
         done[i].set()
+
+    def wait_ready(i):
+        """Block until batch i's filters exist.  In overlap mode, a batch
+        claimed by the device but still unfinished gets a HEDGE: a host
+        fill races the in-flight device fill and the first to finish
+        releases the polish loop (whole-list bfs swaps — both results are
+        valid filter sets), so overlap can never lose more than one host
+        fill to a slow chip (r5: the measured overlap negative was
+        exactly one 5 s device fill exceeding the host's 3.5 s headroom)."""
+        if fill == "overlap" and not done[i].is_set():
+            with lock:
+                hedge = state[i] == "dev"
+            if hedge:
+                hedged[0] += 1
+                threading.Thread(target=host_fill, args=(i,),
+                                 daemon=True).start()
+        done[i].wait()
 
     fill_errors: dict = {}
 
@@ -333,7 +351,7 @@ def _pipeline_stream(batches, procs, fill: str, backend: str,
                 host_fill(i)
             if i + 1 < n and fill != "device" and claim(i + 1, "host"):
                 ex.submit(host_fill, i + 1)
-            done[i].wait()
+            wait_ready(i)
             if i in fill_errors:
                 raise fill_errors[i]
             engines = engines_for([b], backend)[0]
@@ -342,7 +360,8 @@ def _pipeline_stream(batches, procs, fill: str, backend: str,
                 cur = [o for o, _r, _e in eng.polish_many(
                     cur, processes=procs, shard_bases=shard_bases)]
     return time.time() - t0, {
-        "host": state.count("host"), "dev": state.count("dev")
+        "host": state.count("host"), "dev": state.count("dev"),
+        "hedged": hedged[0],
     }
 
 

@@ -408,6 +408,7 @@ def run_bulk(cfg: PipelineConfig) -> dict:
                             p = todo[-1]
                             b = my_batches[p]
                             fut = _cf.Future()
+                            fut._gp_dev = True  # consumers may hedge
                             fill_started.add(b.index)
                             fill_futs[b.index] = fut
                         t0 = _time2.monotonic()
@@ -444,12 +445,38 @@ def run_bulk(cfg: PipelineConfig) -> dict:
                     q += 1
                 return q
 
+            def _hedged_result(fut, records):
+                """Consume a fill future; a DEVICE-claimed fill still in
+                flight when its consumer arrives gets a host-fill HEDGE —
+                first finisher wins (both results are valid filter sets;
+                the device's is the documented fast-mode superset).  The
+                r5 bench measured the overlap stream losing to fill=host
+                exactly because one slow device fill held its batch past
+                the host's headroom; the hedge caps that loss at one
+                host-fill time."""
+                if not getattr(fut, "_gp_dev", False) or fut.done():
+                    return fut.result()
+                ids = [h.split()[0] for h, _ in records]
+                host_fut: _cf.Future = _cf.Future()
+
+                def run():
+                    try:
+                        host_fut.set_result(_timed_fill(ids))
+                    except Exception as e:  # noqa: BLE001
+                        host_fut.set_exception(e)
+
+                _threading.Thread(target=run, daemon=True).start()
+                first, _rest = _cf.wait(
+                    {fut, host_fut}, return_when=_cf.FIRST_COMPLETED
+                )
+                return next(iter(first)).result()
+
             async def worker(batch: engine.Batch):
                 pos = pos_of[batch.index]
                 fut = _ensure_fill(pos, required=True)
                 _ensure_fill(_next_live(pos))  # the lookahead
                 batch_bfs, fill_s = await loop.run_in_executor(
-                    None, fut.result
+                    None, _hedged_result, fut, batch.records
                 )
                 with fill_done_cv:
                     fill_futs.pop(batch.index, None)

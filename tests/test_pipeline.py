@@ -251,3 +251,43 @@ def test_bulk_pipeline_lookahead_fill_identical(tmp_path):
     )
     with open(out_la, "rb") as a, open(out_inline, "rb") as b:
         assert a.read() == b.read()
+
+
+@pytest.mark.slow
+def test_fill_overlap_hedges_slow_device(tmp_path, monkeypatch):
+    """A device-claimed fill that is still in flight when its consumer
+    arrives must be hedged by a host fill (first finisher wins) — one
+    slow device fill must not stall the stream (r5 bench measured the
+    overlap arm losing exactly this way).  The device build is patched to
+    take far longer than the whole host run; without the hedge this test
+    times out on the claimed batch."""
+    import time as _t
+
+    from goldpolish_tpu.bf_builder import BFBuilder
+
+    draft, reads, paf, truths = _write_synthetic(tmp_path, n_contigs=4)
+    out = str(tmp_path / "polished_hedge.fa")
+
+    orig_dev = BFBuilder.build_batch_device
+    slow_calls = []
+
+    def slow_dev(self, ids):
+        slow_calls.append(tuple(ids))
+        _t.sleep(20)  # far beyond the ~2s host run
+        return orig_dev(self, ids)
+
+    monkeypatch.setattr(BFBuilder, "build_batch_device", slow_dev)
+    cfg = PipelineConfig(
+        seqs_to_polish=draft, polishing_seqs=reads, output_seqs=out,
+        k_values=[32, 28], batch_size=1, mappings_path=paf,
+        workspace=str(tmp_path), max_concurrent_batches=2,
+        backend="hybrid", fill_overlap=True,
+    )
+    t0 = _t.monotonic()
+    totals = bulk.run_bulk(cfg)
+    wall = _t.monotonic() - t0
+    assert totals["contigs"] == 4
+    assert slow_calls, "device claimer never fired — test is vacuous"
+    assert wall < 18, f"hedge did not fire (wall {wall:.1f}s)"
+    for r, t in zip(fasta.read_seqs(out), truths):
+        assert r.seq.rstrip("Nn") == t.strip("N"), f"{r.id} not recovered"
