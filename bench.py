@@ -341,10 +341,12 @@ def _pipeline_stream(batches, procs, fill: str, backend: str,
                 done[i].set()
 
     t0 = time.time()
+    dev_thread = None
     if fill in ("device", "overlap"):
-        threading.Thread(
+        dev_thread = threading.Thread(
             target=dev_loop, args=(fill == "device",), daemon=True
-        ).start()
+        )
+        dev_thread.start()
     with cf.ThreadPoolExecutor(max_workers=1) as ex:
         for i, b in enumerate(batches):
             if fill != "device" and claim(i, "host"):
@@ -359,7 +361,13 @@ def _pipeline_stream(batches, procs, fill: str, backend: str,
             for eng in engines:
                 cur = [o for o, _r, _e in eng.polish_many(
                     cur, processes=procs, shard_bases=shard_bases)]
-    return time.time() - t0, {
+    dt = time.time() - t0
+    if dev_thread is not None:
+        # a hedged (lost) device fill may still hold a jax call; letting
+        # it race interpreter teardown SIGABRTs the runtime — drain it
+        # off the timed window before returning
+        dev_thread.join(timeout=300)
+    return dt, {
         "host": state.count("host"), "dev": state.count("dev"),
         "hedged": hedged[0],
     }

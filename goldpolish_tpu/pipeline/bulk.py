@@ -431,9 +431,18 @@ def run_bulk(cfg: PipelineConfig) -> dict:
                             return
                         fut.set_result((bfs, _time2.monotonic() - t0))
 
-                _threading.Thread(
+                dev_fill_thread = _threading.Thread(
                     target=_dev_fill_loop, name="bf-fill-dev", daemon=True
-                ).start()
+                )
+                dev_fill_thread.start()
+                # a hedged (lost) device fill still holding a jax call at
+                # interpreter teardown SIGABRTs the runtime; drain it at
+                # exit (atexit handlers run before teardown, and this one
+                # — registered after jax's — runs first), NOT in run_bulk
+                # (which would stall the return behind a slow chip)
+                import atexit as _atexit
+
+                _atexit.register(dev_fill_thread.join, 300)
 
             def _next_live(pos: int) -> int:
                 """First position > pos not recorded done — the lookahead
