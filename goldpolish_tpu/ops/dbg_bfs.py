@@ -84,7 +84,8 @@ def _probe(words, bits: int, base, k: int, h: int):
 
 
 @functools.lru_cache(maxsize=16)
-def _build_kernel(k: int, h: int, bits: int, W: int, V: int, G: int):
+def _build_kernel(k: int, h: int, bits: int, W: int, V: int, G: int,
+                  shadow_log: int = 18):
     """Jitted batched bidirectional-reachability kernel.
 
     Shapes: G gaps, frontier cap W, visited cap V (per direction).
@@ -138,7 +139,7 @@ def _build_kernel(k: int, h: int, bits: int, W: int, V: int, G: int):
     # rate is ~1e-5.  This replaces a per-level sorted-array merge that
     # dominated the kernel (u64 sorts of V+4W per level, measured ~90x
     # slower than the host search on a v5e).
-    SHADOW_LOG = 18
+    SHADOW_LOG = shadow_log
     S_BYTES = 1 << SHADOW_LOG  # one u8 per slot: max-scatter IS the OR,
     # and (unlike a bit-packed read-modify-write scatter) stays correct
     # under duplicate slot indices within one call
@@ -297,9 +298,23 @@ class DeviceBFS:
     (None where the kernel overflowed — search those natively)."""
 
     def __init__(self, bf, k: int, w_cap: int = 32, v_cap: int = 2048,
-                 batch: int = 128, w_cap2: int = 256):
+                 batch: int = 128, w_cap2: int = 256,
+                 shadow_log: int | None = None):
+        import os as _os
+
         if k > 32:
             raise ValueError("DeviceBFS packs k-mers into u64 (k <= 32)")
+        # shadow visited-set size per (gap, direction).  The default is a
+        # measured trade: the while-loop state scales with 2^shadow_log
+        # and dominated the on-chip per-level cost at 2^18 (134 MB state;
+        # 40.8 ms/level, docs/ROUND5.md), while the false-positive rate —
+        # whose only cost is a host re-run on a mask miss — stays
+        # negligible far below that (<= V inserts over 2^15 slots, 3
+        # derived bits: ~2e-4 per test).
+        self.shadow_log = (
+            int(_os.environ.get("GPTPU_BFS_SHADOW_LOG", 15))
+            if shadow_log is None else shadow_log
+        )
         self.bf = bf
         self.k = k
         self.h = int(bf.hash_num)
@@ -341,7 +356,8 @@ class DeviceBFS:
         while G < len(searches) and G < 512:
             G *= 2
         out = []
-        run = _build_kernel(self.k, self.h, self.bits, W, self.V, G)
+        run = _build_kernel(self.k, self.h, self.bits, W, self.V, G,
+                            self.shadow_log)
         for lo in range(0, len(searches), G):
             chunk = searches[lo : lo + G]
             n = len(chunk)
