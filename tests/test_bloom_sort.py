@@ -281,3 +281,26 @@ def test_sorted_edge_cases():
     old = bf_builder.device_fill_bfs({4: reads}, [33], H, CBF_BYTES, BF_BYTES)
     assert bytes(srt[0].array) == bytes(old[0].array)
     assert srt[0].pop_count > 0
+
+
+@pytest.mark.slow
+def test_sorted_default_chunking_at_production_size():
+    """Streams above DEFAULT_CHUNK_BASES (2^21) take the chunked path by
+    DEFAULT — the production regime (a 2 Mbp batch's read stream is
+    ~10 Mb).  Bits must equal an explicit single-dispatch build."""
+    rng = np.random.default_rng(21)
+    truth = np.frombuffer(b"ACGT", np.uint8)[
+        rng.integers(0, 4, 600_000)
+    ].tobytes()
+    reads = _reads_cov(truth, 5, frag=20_000)  # ~3 Mb stream
+    total = sum(len(r) for r in reads)
+    assert total > bloom_sort.DEFAULT_CHUNK_BASES  # actually exercises it
+    thrs = [5] * len(reads)
+    chunked = bloom_sort.device_fill_bfs_sorted(
+        reads, thrs, [32], H, CBF_BYTES, 1 << 21
+    )
+    single = bloom_sort.device_fill_bfs_sorted(
+        reads, thrs, [32], H, CBF_BYTES, 1 << 21, chunk_bases=1 << 40
+    )
+    assert bytes(chunked[0].array) == bytes(single[0].array)
+    assert chunked[0].pop_count > 0
